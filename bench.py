@@ -1,0 +1,108 @@
+"""Benchmark: batched trajectory solves per second on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference C++ back-end runs one solve per NLopt wall-clock
+budget of 0.05-0.5 s (BASELINE.md) — we take the opti_node step-2 budget
+of 0.1 s, i.e. ~10 solves/s on the reference CPU, as the comparison point.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grad_traj_optimization_tpu import fixtures
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+    from grad_traj_optimization_tpu.fields import sdf
+
+    BATCH = 1024
+    N_WP = 7
+    cfg = OptimizerConfig()
+
+    map_cfg, pts, valid, wps = fixtures.random_scenarios(
+        BATCH, n_waypoints=N_WP, seed=42, max_obstacle_points=4096
+    )
+    grid = map_cfg.grid_shape
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    res = map_cfg.resolution
+
+    # ---- distance-field builds (sequenced by lax.map to bound memory) ----
+    @jax.jit
+    def build_fields(pts, valid):
+        def one(args):
+            p, v = args
+            occ = sdf.rasterize(p, origin, res, grid, valid_mask=v)
+            return sdf.edt(occ, res, chunk_bytes=1 << 26)
+
+        return jax.lax.map(
+            one, (pts.astype(jnp.float32), valid), batch_size=8
+        )
+
+    t0 = time.perf_counter()
+    dist = jax.block_until_ready(
+        build_fields(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
+    )
+    t_edt_total = time.perf_counter() - t0  # includes compile
+
+    scns = solve_mod.Scenario(
+        dist=dist,
+        origin=jnp.broadcast_to(origin, (BATCH, 3)),
+        resolution=jnp.full((BATCH,), res, jnp.float32),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+
+    # ---- batched solve throughput ----
+    run = lambda: solve_mod.solve_batch(
+        scns, cfg=cfg, steps=(2,), record_trace=False
+    )
+    sols = jax.block_until_ready(run())  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    t_batch = min(times)
+    solves_per_s = BATCH / t_batch
+
+    # ---- single-solve p50 latency ----
+    one_scn = jax.tree.map(lambda x: x[0], scns)
+    run1 = lambda: solve_mod.solve(
+        one_scn, cfg=cfg, steps=(2,), record_trace=False
+    )
+    jax.block_until_ready(run1())
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run1())
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    n_ok = int(jnp.sum(sols.status == 0))
+    baseline_solves_per_s = 10.0  # reference: ~0.1 s/solve budget
+    print(
+        json.dumps(
+            {
+                "metric": "trajectory_solves_per_s_single_chip",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
+                "batch": BATCH,
+                "p50_single_solve_ms": round(p50_ms, 3),
+                "batch_wall_s": round(t_batch, 4),
+                "edt_builds_total_s_incl_compile": round(t_edt_total, 2),
+                "n_status_ok": n_ok,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Typed configuration for the trajectory optimizer.
+
+Replaces the reference's ROS-parameter-server configuration
+(reference: src/grad_traj_optimizer.cpp:3-33 reads ~20 scalars under
+``/traj_opti_node1/*``; values in launch/opti_node.launch:3-28,
+launch/text_input.launch:84-117).
+
+Two kinds of fields:
+
+* **Static** fields (iteration budgets, sample counts, gradient mode) shape
+  the compiled program; they are Python ints/strs and hashing a config gives
+  a jit cache key.
+* **Weight-like** fields (penalty weights, bounds) are plain floats baked
+  into the trace as constants.  They rarely change between solves of the
+  same deployment, so constant-folding them lets XLA pre-fuse the penalty
+  math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Penalty-optimizer parameters.
+
+    Mirrors reference grad_traj_optimizer.cpp:3-33 (names kept for
+    auditability), replacing NLopt wall-clock limits with deterministic
+    iteration budgets (reference quirk: nlopt::srand(wall clock) +
+    set_maxtime makes C++ results machine-dependent; see
+    grad_traj_optimizer.cpp:135-148).
+    """
+
+    # --- penalty weights (launch/opti_node.launch:9-21) ---
+    w_smooth: float = 1.0       # ws
+    w_collision: float = 5.0    # wc
+    alpha: float = 10.0         # collision penalty scale
+    d0: float = 0.8             # collision penalty offset distance [m]
+    r: float = 0.5              # collision penalty decay length [m]
+    alpha_v: float = 0.0        # velocity penalty scale (vestigial in ref)
+    v0: float = 2.5
+    r_v: float = 1.5
+    alpha_a: float = 0.0        # acceleration penalty scale (vestigial)
+    a0: float = 3.5
+    r_a: float = 1.5
+
+    # --- box bounds on the free derivatives (launch/opti_node.launch:23-25;
+    #     applied at grad_traj_optimizer.cpp:154-177) ---
+    bos: float = 3.0            # position box half-width around waypoint [m]
+    vos: float = 8.0            # velocity bound [m/s]
+    aos: float = 10.0           # acceleration bound [m/s^2]
+
+    # --- time allocation (grad_traj_optimizer.cpp:73-81) ---
+    mean_v: float = 1.8         # mean velocity for segment-time heuristic
+    init_time: float = 0.3      # extra time on the first segment
+
+    # --- discretization of the collision line integral
+    #     (grad_traj_optimizer.cpp:351-353: t = 1e-3, dt = T_s/30) ---
+    n_samples: int = 30         # samples per segment (static)
+    t_offset: float = 1e-3      # first sample offset into each segment
+
+    # --- iteration budgets replacing NLopt set_maxtime
+    #     (grad_traj_optimizer.cpp:144-148) ---
+    iters_step1: int = 60       # step 1: ws = 0, collision-only shaping
+    iters_step2: int = 160      # step 2: full cost
+
+    # --- descent controls (ours; no reference counterpart) ---
+    lr0: float = 1e-2           # initial step size
+    lr_grow: float = 1.6        # step growth on accepted iterations
+    lr_shrink: float = 0.35     # step shrink on rejected iterations
+    lr_min: float = 1e-8
+    lr_max: float = 10.0
+
+    # --- gradient formula ---
+    # "reference": replicate grad_traj_optimizer.cpp:376-381 exactly,
+    #   including its extra `cd` factor in the distance term and the +1e-5
+    #   bias added to every gradient component (:428-432).
+    # "exact": true analytic gradient of the sampled cost.
+    gradient_mode: str = "reference"
+
+    # numeric floors replicated from the reference
+    cost_eps: float = 1e-3      # added to total cost (:417-418)
+    grad_eps: float = 1e-5      # added to each gradient entry (:428-432)
+    vel_eps: float = 1e-5       # ||v|| floor (:358)
+
+    def __post_init__(self):
+        if self.gradient_mode not in ("reference", "exact"):
+            raise ValueError(f"bad gradient_mode: {self.gradient_mode}")
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Static geometry of the voxel map.
+
+    Shapes are static so one compiled solve serves every scenario on the
+    same grid (reference: SDFMap ctor, src/sdf_map.cpp:3-24).
+    """
+
+    origin: tuple[float, float, float] = (-20.0, -20.0, 0.0)
+    resolution: float = 0.2
+    map_size: tuple[float, float, float] = (40.0, 40.0, 5.0)
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        import math
+
+        return tuple(
+            int(math.ceil(s / self.resolution)) for s in self.map_size
+        )
+
+    @property
+    def n_voxels(self) -> int:
+        nx, ny, nz = self.grid_shape
+        return nx * ny * nz
+
+
+# The two deployment presets shipped with the reference.
+OPTI_NODE_CONFIG = OptimizerConfig()  # launch/opti_node.launch:3-28
+
+# launch/text_input.launch:84-117 (ws=200, wc=0.1, alpha=5, d0=0.7, r=1,
+# mean_v=1, init_time=0)
+TEXT_INPUT_CONFIG = OptimizerConfig(
+    w_smooth=200.0,
+    w_collision=0.1,
+    alpha=5.0,
+    d0=0.7,
+    r=1.0,
+    mean_v=1.0,
+    init_time=0.0,
+)

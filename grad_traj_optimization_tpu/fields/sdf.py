@@ -1,0 +1,270 @@
+"""Occupancy grid + Euclidean distance transform + trilinear sampling.
+
+TPU-native rebuild of the reference ``SDFMap`` (src/sdf_map.cpp).  The
+reference computes the exact unsigned EDT with the
+Felzenszwalb-Huttenlocher lower-envelope algorithm, three separable passes
+z -> y -> x (sdf_map.cpp:266-368).  The lower-envelope scan is inherently
+sequential with data-dependent backtracking — a poor fit for the VPU — so
+this module computes the *same exact transform* with TPU-friendly
+primitives:
+
+* pass 1 (binary input): 1-D nearest-occupied distance via two associative
+  ``cummin`` scans (parallel prefix), then squared;
+* passes 2 and 3 (general parabola min-plus): dense vectorized
+  ``out[q] = min_v(f[v] + (q - v)^2)`` over thousands of independent lines,
+  chunked to bound memory.  Exact squared EDT is separable, so the result
+  is bit-for-bit the same transform the reference computes (up to float
+  associativity).
+
+Semantics replicated from the reference:
+
+* distances are **unsigned** (occupied cells get 0; no negative inside
+  distance) — sdf_map.cpp:313-319;
+* the distance buffer is conceptually initialized to 10000 and the final
+  pass takes ``min(resolution * sqrt(sq), 10000)`` — sdf_map.cpp:22,358-360;
+* out-of-map queries return -1 (sdf_map.cpp:187), with a 1e-4 in-map margin
+  on every face (sdf_map.cpp:55-69);
+* trilinear sampling offsets the query by -resolution/2 before indexing and
+  clamps corner indices to the grid (sdf_map.cpp:185-242); the gradient is
+  the analytic derivative of the interpolant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+#: "no obstacle" distance in cells; chosen so that resolution * BIG_CELLS
+#: far exceeds the 10000 m cap while BIG_CELLS^2 stays well inside f32.
+BIG_CELLS = 1.0e6
+#: reference distance-buffer initialization value (sdf_map.cpp:22)
+FREE_DIST = 10000.0
+
+
+# ---------------------------------------------------------------------------
+# Occupancy rasterization
+# ---------------------------------------------------------------------------
+
+
+def pos_to_index(pos, origin, resolution):
+    """floor((pos - origin) / resolution), the reference posToIndex
+    (sdf_map.cpp:71-74)."""
+    return jnp.floor((pos - origin) / resolution).astype(jnp.int32)
+
+
+def in_map(pos, origin, resolution, grid_shape):
+    """Reference isInMap with its 1e-4 margins (sdf_map.cpp:55-69)."""
+    origin = jnp.asarray(origin)
+    size = jnp.asarray(grid_shape, dtype=pos.dtype) * resolution
+    lo = origin + 1e-4
+    hi = origin + size - 1e-4
+    return jnp.all((pos > lo) & (pos < hi), axis=-1)
+
+
+def rasterize(points, origin, resolution, grid_shape, valid_mask=None):
+    """Scatter obstacle points into a dense occupancy grid.
+
+    Replaces the reference's per-point setOccupancy loop
+    (sdf_map.cpp:80-99; driver loop grad_traj_optimizer.cpp:117-126) with
+    one batched scatter.  Out-of-map points are dropped, as in the
+    reference.
+
+    Args:
+      points: (N, 3) obstacle positions (pad with out-of-map sentinels for
+        ragged batches, or pass ``valid_mask``).
+      valid_mask: optional (N,) bool; False entries are ignored.
+    Returns:
+      (nx, ny, nz) float32 occupancy in {0, 1}.
+    """
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype)
+    nx, ny, nz = grid_shape
+    idx = pos_to_index(points, origin, resolution)
+    ok = in_map(points, origin, resolution, grid_shape)
+    if valid_mask is not None:
+        ok = ok & valid_mask
+    flat = idx[:, 0] * (ny * nz) + idx[:, 1] * nz + idx[:, 2]
+    flat = jnp.where(ok, flat, -1)  # -1 -> dropped by scatter mode below
+    occ = jnp.zeros(nx * ny * nz, dtype=jnp.float32)
+    occ = occ.at[flat].max(ok.astype(jnp.float32), mode="drop")
+    return occ.reshape(grid_shape)
+
+
+# ---------------------------------------------------------------------------
+# Exact Euclidean distance transform
+# ---------------------------------------------------------------------------
+
+
+def _nearest_sq_1d(occ, axis):
+    """Squared distance (in cells) to the nearest occupied cell along one
+    axis — exact, via two parallel-prefix cummin scans.
+
+    For binary input the parabola transform degenerates to plain nearest
+    distance: min_v (q - v)^2 over occupied v equals (nearest occupied)^2.
+    """
+    n = occ.shape[axis]
+    pen = jnp.where(occ > 0.5, 0.0, BIG_CELLS)
+    shape = [1] * occ.ndim
+    shape[axis] = n
+    i = jnp.arange(n, dtype=pen.dtype).reshape(shape)
+    fwd = i + jax.lax.cummin(pen - i, axis=axis)
+    bwd = -i + jax.lax.cummin(pen + i, axis=axis, reverse=True)
+    d = jnp.minimum(fwd, bwd)
+    return d * d
+
+
+def _minplus_parabola_lines(f, chunk_bytes: int = 1 << 28):
+    """out[b, q] = min_v (f[b, v] + (q - v)^2) for each line b.
+
+    Dense vectorized lower envelope: O(n^2) per line but embarrassingly
+    parallel across lines and fully on the VPU.  Memory is bounded by
+    processing lines in blocks of ``tb`` such that tb * n * n * 4 <=
+    chunk_bytes.
+    """
+    B, n = f.shape
+    q = jnp.arange(n, dtype=f.dtype)
+    sq = (q[:, None] - q[None, :]) ** 2  # (q, v)
+
+    tb = max(1, min(B, chunk_bytes // (4 * n * n)))
+    nb = -(-B // tb)
+    pad = nb * tb - B
+    fp = jnp.pad(f, ((0, pad), (0, 0))).reshape(nb, tb, n)
+
+    def body(fc):
+        # (tb, 1, n) + (n_q, n_v) -> (tb, n_q, n_v) -> min over v
+        return jnp.min(fc[:, None, :] + sq[None, :, :], axis=-1)
+
+    out = jax.lax.map(body, fp).reshape(nb * tb, n)
+    return out[:B]
+
+
+def _minplus_axis(f, axis, chunk_bytes: int = 1 << 28):
+    f = jnp.moveaxis(f, axis, -1)
+    shape = f.shape
+    out = _minplus_parabola_lines(f.reshape(-1, shape[-1]), chunk_bytes)
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
+def edt(occ, resolution: float, prev_dist=None, chunk_bytes: int = 1 << 28):
+    """Exact unsigned Euclidean distance transform of an occupancy grid.
+
+    Reference: SDFMap::updateESDF3d (sdf_map.cpp:310-368) — separable
+    passes z, y, x; final metric distance is
+    ``min(resolution * sqrt(sq), prev)`` with prev initialized to 10000.
+
+    Args:
+      occ: (nx, ny, nz) occupancy in {0, 1}.
+      prev_dist: optional previous distance buffer for incremental updates
+        (the reference's min with the old buffer).
+    Returns:
+      (nx, ny, nz) float32 distance in meters.
+    """
+    sq = _nearest_sq_1d(occ, axis=2)
+    sq = _minplus_axis(sq, axis=1, chunk_bytes=chunk_bytes)
+    sq = _minplus_axis(sq, axis=0, chunk_bytes=chunk_bytes)
+    dist = resolution * jnp.sqrt(sq)
+    base = FREE_DIST if prev_dist is None else prev_dist
+    return jnp.minimum(dist, base).astype(jnp.float32)
+
+
+def edt_brute_force(occ, resolution: float):
+    """O(N^2) all-pairs EDT for testing tiny grids only."""
+    grid_shape = occ.shape
+    coords = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(s) for s in grid_shape], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    occf = occ.reshape(-1) > 0.5
+    d2 = jnp.sum(
+        (coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1
+    ).astype(jnp.float32)
+    d2 = jnp.where(occf[None, :], d2, BIG_CELLS**2)
+    dist = resolution * jnp.sqrt(jnp.min(d2, axis=1))
+    return jnp.minimum(dist, FREE_DIST).reshape(grid_shape)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+def _gather_clamped(dist, ix, iy, iz):
+    """dist[clamp(ix), clamp(iy), clamp(iz)] — reference getDistance(id)
+    clamps out-of-range indices (sdf_map.cpp:166-174)."""
+    nx, ny, nz = dist.shape
+    ix = jnp.clip(ix, 0, nx - 1)
+    iy = jnp.clip(iy, 0, ny - 1)
+    iz = jnp.clip(iz, 0, nz - 1)
+    flat = (ix * ny + iy) * nz + iz
+    return jnp.take(dist.reshape(-1), flat)
+
+
+def distance_at(dist, origin, resolution, pos):
+    """Nearest-cell distance lookup; -1 out of map (sdf_map.cpp:155-164)."""
+    pos = jnp.asarray(pos)
+    origin = jnp.asarray(origin, dtype=pos.dtype)
+    ok = in_map(pos, origin, resolution, dist.shape)
+    idx = pos_to_index(pos, origin, resolution)
+    d = _gather_clamped(dist, idx[..., 0], idx[..., 1], idx[..., 2])
+    return jnp.where(ok, d, -1.0)
+
+
+def distance_and_gradient(dist, origin, resolution, pos):
+    """Trilinear distance + analytic gradient at query positions.
+
+    Reference: getDistWithGradTrilinear (sdf_map.cpp:185-242).  Returns
+    (d, g) with d == -1 and g == 0 for out-of-map queries (the reference
+    leaves g uninitialized there — C++ UB we define as zero).
+
+    Args:
+      pos: (..., 3).
+    Returns:
+      d: (...,), g: (..., 3).
+    """
+    pos = jnp.asarray(pos)
+    origin = jnp.asarray(origin, dtype=pos.dtype)
+    res = jnp.asarray(resolution, dtype=pos.dtype)
+    ok = in_map(pos, origin, res, dist.shape)
+
+    pos_m = pos - 0.5 * res
+    idx = pos_to_index(pos_m, origin, res)
+    idx_pos = (idx.astype(pos.dtype) + 0.5) * res + origin
+    diff = (pos - idx_pos) / res  # in [0, 1)
+
+    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    v = [
+        [
+            [_gather_clamped(dist, ix + dx, iy + dy, iz + dz) for dz in (0, 1)]
+            for dy in (0, 1)
+        ]
+        for dx in (0, 1)
+    ]
+    dx_, dy_, dz_ = diff[..., 0], diff[..., 1], diff[..., 2]
+
+    # x-interpolation first, then y, then z (reference order, :221-229)
+    v00 = (1 - dx_) * v[0][0][0] + dx_ * v[1][0][0]
+    v01 = (1 - dx_) * v[0][0][1] + dx_ * v[1][0][1]
+    v10 = (1 - dx_) * v[0][1][0] + dx_ * v[1][1][0]
+    v11 = (1 - dx_) * v[0][1][1] + dx_ * v[1][1][1]
+    v0 = (1 - dy_) * v00 + dy_ * v10
+    v1 = (1 - dy_) * v01 + dy_ * v11
+    d = (1 - dz_) * v0 + dz_ * v1
+
+    gz = (v1 - v0) / res
+    gy = ((1 - dz_) * (v10 - v00) + dz_ * (v11 - v01)) / res
+    gx = (
+        (1 - dz_) * (1 - dy_) * (v[1][0][0] - v[0][0][0])
+        + (1 - dz_) * dy_ * (v[1][1][0] - v[0][1][0])
+        + dz_ * (1 - dy_) * (v[1][0][1] - v[0][0][1])
+        + dz_ * dy_ * (v[1][1][1] - v[0][1][1])
+    ) / res
+
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    d = jnp.where(ok, d, -1.0)
+    g = jnp.where(ok[..., None], g, 0.0)
+    return d, g
+
+
+def max_distance(dist):
+    """Reference getMaxDistance (sdf_map.cpp:423-431)."""
+    return jnp.max(dist)

@@ -1,0 +1,82 @@
+"""Projected adaptive gradient descent under box bounds.
+
+Replaces the reference's NLopt back-end (vendored libnlopt.so.0.9.0,
+algorithm index 24 = LD_MMA, wall-clock ``set_maxtime`` limits, RNG seeded
+from the wall clock — grad_traj_optimizer.cpp:135-195).  Design choices:
+
+* **Deterministic fixed iteration budget** instead of a time limit: every
+  scenario in a batch runs the same compiled ``lax.scan``, results are
+  reproducible, and throughput is shape-stable.
+* **Projection replaces NLopt box bounds**: iterates are clipped to
+  [lb, ub] after every step — for a box this is the exact Euclidean
+  projection.
+* **Monotone acceptance with adaptive step**: a candidate is accepted only
+  if it lowers the cost; the step size grows on acceptance and shrinks on
+  rejection.  One gradient + one extra cost evaluation per iteration, no
+  inner line-search loop — scan-friendly and robust across the 3-4 orders
+  of magnitude the penalty cost spans over a batch of random scenarios.
+
+The monotone best-cost envelope the reference records per NLopt iteration
+(``getCostCurve``, grad_traj_optimizer.cpp:438-447) falls out of the
+acceptance rule: the cost trace here is non-increasing by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu.config import OptimizerConfig
+
+
+class DescentResult(NamedTuple):
+    dp: jnp.ndarray          # (3, num_dp) optimized free derivatives
+    cost: jnp.ndarray        # () final cost
+    n_accept: jnp.ndarray    # () accepted iterations
+    cost_trace: jnp.ndarray  # (iters,) monotone cost envelope
+
+
+def minimize(
+    cost_and_grad: Callable,
+    cost_only: Callable,
+    dp0,
+    lb,
+    ub,
+    iters: int,
+    cfg: OptimizerConfig,
+    record_trace: bool = True,
+) -> DescentResult:
+    """Run ``iters`` projected-descent iterations from dp0.
+
+    ``cost_and_grad(dp) -> (cost, grad)`` and ``cost_only(dp) -> cost``
+    close over the scenario (SDF, QP dependencies, step schedule).
+    """
+    dp0 = jnp.clip(jnp.asarray(dp0), lb, ub)
+    lr0 = jnp.asarray(cfg.lr0, dtype=dp0.dtype)
+
+    def body(state, _):
+        dp, lr, cost, n_acc = state
+        _, g = cost_and_grad(dp)
+        # normalize the step by gradient scale so lr is unit-free
+        gnorm = jnp.linalg.norm(g) + 1e-12
+        cand = jnp.clip(dp - (lr / gnorm) * g, lb, ub)
+        c_cand = cost_only(cand)
+        accept = c_cand < cost
+        dp = jnp.where(accept, cand, dp)
+        cost = jnp.where(accept, c_cand, cost)
+        lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
+        lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
+        n_acc = n_acc + accept.astype(jnp.int32)
+        out = cost if record_trace else None
+        return (dp, lr, cost, n_acc), out
+
+    c0 = cost_only(dp0)
+    init = (dp0, lr0, c0, jnp.zeros((), jnp.int32))
+    (dp, _, cost, n_acc), trace = jax.lax.scan(
+        body, init, None, length=iters
+    )
+    if not record_trace:
+        trace = jnp.full((iters,), jnp.nan, dtype=dp0.dtype)
+    return DescentResult(dp=dp, cost=cost, n_accept=n_acc, cost_trace=trace)

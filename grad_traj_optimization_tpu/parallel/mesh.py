@@ -1,0 +1,88 @@
+"""Device-mesh scaling of the batched solver.
+
+The reference is strictly single-core, single-process C++; its only IPC is
+ROS pub/sub (SURVEY.md section 2).  Here distribution is first-class:
+
+* axis ``"data"`` — scenarios.  The batched solve is embarrassingly
+  parallel over scenarios, so sharding the leading axis of every Scenario
+  leaf is enough: XLA partitions the whole vmapped program with zero
+  communication (collectives appear only in reductions the caller asks
+  for, e.g. fleet-wide convergence statistics via psum).
+* axis ``"space"`` — the SDF voxel grid for pod-scale EDT builds
+  (:mod:`grad_traj_optimization_tpu.parallel.edt_sharded`).
+
+Multi-host: call :func:`init_distributed` first (jax.distributed), then
+these helpers operate on the global mesh exactly as on one host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_space: int = 1,
+              devices=None) -> Mesh:
+    """A (data, space) mesh. Defaults to all visible devices on data."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, axis_names=("data", "space"))
+
+
+def init_distributed(coordinator: str | None = None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up (no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+def shard_scenarios(scenarios, mesh: Mesh):
+    """Place a Scenario batch with the leading axis split over "data"."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), scenarios)
+
+
+def sharded_solve(scenarios, mesh: Mesh, cfg=None, steps=(2,),
+                  record_trace=False):
+    """Data-parallel batched solve over the mesh.
+
+    ``scenarios`` leaves must have a leading batch axis divisible by the
+    mesh's data-axis size.  Returns a Solution batch with the same
+    sharding.
+    """
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    if cfg is None:
+        cfg = OptimizerConfig()
+    scenarios = shard_scenarios(scenarios, mesh)
+    return solve_mod.solve_batch(
+        scenarios, cfg=cfg, steps=steps, record_trace=record_trace
+    )
+
+
+def convergence_stats(solution):
+    """Fleet-wide convergence reductions (device-count independent).
+
+    jnp reductions over a sharded Solution lower to psum/all-reduce
+    collectives over the mesh — the TPU analogue of the reference's
+    printed per-solve counters (grad_traj_optimizer.cpp:233-239).
+    """
+    import jax.numpy as jnp
+
+    ok = (solution.status == 0).astype(jnp.float32)
+    return {
+        "n_ok": jnp.sum(ok),
+        "mean_cost": jnp.mean(solution.cost),
+        "mean_accept": jnp.mean(solution.n_accept.astype(jnp.float32)),
+    }

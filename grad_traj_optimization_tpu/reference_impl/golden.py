@@ -1,0 +1,378 @@
+"""Float64 NumPy oracle mirroring the reference C++ math.
+
+The reference has no automated tests and its optimizer output is
+machine-dependent (NLopt seeded from the wall clock with wall-clock stop,
+grad_traj_optimizer.cpp:135-148), so trajectory parity is defined against
+this deterministic float64 reimplementation of the C++ *math*: the same
+EDT, the same dense QP construction (including the literal 6m x 6m
+``A.inverse()``), the same cost/gradient formulas with all their quirks.
+The TPU path is tested against this oracle at the 1e-3 positional
+tolerance demanded by BASELINE.md.
+
+Everything here is written for clarity over speed (plain loops), exactly
+because it is the yardstick, not the product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# SDF map (reference src/sdf_map.cpp)
+# ---------------------------------------------------------------------------
+
+
+class GoldenSDFMap:
+    """Occupancy + Felzenszwalb EDT + trilinear sampling, float64."""
+
+    def __init__(self, origin, resolution, map_size):
+        self.origin = np.asarray(origin, dtype=np.float64)
+        self.resolution = float(resolution)
+        self.map_size = np.asarray(map_size, dtype=np.float64)
+        self.grid = np.ceil(self.map_size / self.resolution).astype(int)
+        self.occ = np.zeros(self.grid, dtype=np.float64)
+        self.dist = np.full(self.grid, 10000.0)
+
+    # -- indexing (sdf_map.cpp:55-78) --
+    def in_map(self, pos):
+        lo = self.origin + 1e-4
+        hi = self.origin + self.map_size - 1e-4
+        return bool(np.all(pos > lo) and np.all(pos < hi))
+
+    def pos_to_index(self, pos):
+        return np.floor((pos - self.origin) / self.resolution).astype(int)
+
+    def set_occupancy(self, pos):
+        pos = np.asarray(pos, dtype=np.float64)
+        if not self.in_map(pos):
+            return
+        i = self.pos_to_index(pos)
+        self.occ[i[0], i[1], i[2]] = 1.0
+
+    # -- EDT (sdf_map.cpp:266-368) --
+    @staticmethod
+    def _dt_1d(f):
+        """Exact 1-D squared distance transform (lower envelope of
+        parabolas), sequential as in the C++ fillESDF."""
+        n = len(f)
+        d = np.empty(n)
+        v = np.zeros(n, dtype=int)
+        z = np.empty(n + 1)
+        k = 0
+        v[0] = 0
+        z[0] = -INF
+        z[1] = INF
+        for q in range(1, n):
+            while True:
+                num = (f[q] + q * q) - (f[v[k]] + v[k] * v[k])
+                s = num / (2 * q - 2 * v[k])
+                if s <= z[k]:
+                    k -= 1
+                else:
+                    break
+            k += 1
+            v[k] = q
+            z[k] = s
+            z[k + 1] = INF
+        k = 0
+        for q in range(n):
+            while z[k + 1] < q:
+                k += 1
+            d[q] = (q - v[k]) ** 2 + f[v[k]]
+        return d
+
+    def update_esdf(self):
+        nx, ny, nz = self.grid
+        big = 1e30  # stands in for +inf to avoid inf-inf in the envelope
+        tmp1 = np.empty(self.grid)
+        tmp2 = np.empty(self.grid)
+        for x in range(nx):
+            for y in range(ny):
+                f = np.where(self.occ[x, y, :] == 1, 0.0, big)
+                tmp1[x, y, :] = self._dt_1d(f)
+        for x in range(nx):
+            for z in range(nz):
+                tmp2[x, :, z] = self._dt_1d(tmp1[x, :, z])
+        for y in range(ny):
+            for z in range(nz):
+                val = self._dt_1d(tmp2[:, y, z])
+                self.dist[:, y, z] = np.minimum(
+                    self.resolution * np.sqrt(val), self.dist[:, y, z]
+                )
+
+    # -- queries (sdf_map.cpp:155-242) --
+    def get_distance_idx(self, ix, iy, iz):
+        g = self.grid
+        ix = min(max(ix, 0), g[0] - 1)
+        iy = min(max(iy, 0), g[1] - 1)
+        iz = min(max(iz, 0), g[2] - 1)
+        return self.dist[ix, iy, iz]
+
+    def dist_with_grad_trilinear(self, pos):
+        pos = np.asarray(pos, dtype=np.float64)
+        if not self.in_map(pos):
+            return -1.0, np.zeros(3)
+        res = self.resolution
+        pos_m = pos - 0.5 * res
+        idx = self.pos_to_index(pos_m)
+        idx_pos = (idx + 0.5) * res + self.origin
+        diff = (pos - idx_pos) / res
+
+        values = np.empty((2, 2, 2))
+        for a in range(2):
+            for b in range(2):
+                for c in range(2):
+                    values[a, b, c] = self.get_distance_idx(
+                        idx[0] + a, idx[1] + b, idx[2] + c
+                    )
+
+        v00 = (1 - diff[0]) * values[0, 0, 0] + diff[0] * values[1, 0, 0]
+        v01 = (1 - diff[0]) * values[0, 0, 1] + diff[0] * values[1, 0, 1]
+        v10 = (1 - diff[0]) * values[0, 1, 0] + diff[0] * values[1, 1, 0]
+        v11 = (1 - diff[0]) * values[0, 1, 1] + diff[0] * values[1, 1, 1]
+        v0 = (1 - diff[1]) * v00 + diff[1] * v10
+        v1 = (1 - diff[1]) * v01 + diff[1] * v11
+        dist = (1 - diff[2]) * v0 + diff[2] * v1
+
+        grad = np.zeros(3)
+        grad[2] = (v1 - v0) / res
+        grad[1] = ((1 - diff[2]) * (v10 - v00) + diff[2] * (v11 - v01)) / res
+        grad[0] = (
+            (1 - diff[2]) * (1 - diff[1]) * (values[1, 0, 0] - values[0, 0, 0])
+            + (1 - diff[2]) * diff[1] * (values[1, 1, 0] - values[0, 1, 0])
+            + diff[2] * (1 - diff[1]) * (values[1, 0, 1] - values[0, 0, 1])
+            + diff[2] * diff[1] * (values[1, 1, 1] - values[0, 1, 1])
+        ) / res
+        return dist, grad
+
+
+# ---------------------------------------------------------------------------
+# QP generator (reference src/qp_generator.cpp), dense float64
+# ---------------------------------------------------------------------------
+
+
+def _factorial(x):
+    f = 1
+    for i in range(x, 0, -1):
+        f *= i
+    return f
+
+
+def mapping_matrix(times):
+    """Dense block-diagonal A (6m x 6m), qp_generator.cpp:40-54."""
+    m = len(times)
+    A = np.zeros((6 * m, 6 * m))
+    for k in range(m):
+        ab = np.zeros((6, 6))
+        for i in range(3):
+            ab[2 * i, i] = _factorial(i)
+            for j in range(i, 6):
+                ab[2 * i + 1, j] = (
+                    _factorial(j) / _factorial(j - i) * times[k] ** (j - i)
+                )
+        A[6 * k : 6 * k + 6, 6 * k : 6 * k + 6] = ab
+    return A
+
+
+def snap_hessian(times):
+    """Dense Q (6m x 6m), qp_generator.cpp:99-110."""
+    m = len(times)
+    Q = np.zeros((6 * m, 6 * m))
+    for k in range(m):
+        for i in range(3, 6):
+            for j in range(3, 6):
+                Q[6 * k + i, 6 * k + j] = (
+                    i * (i - 1) * (i - 2) * j * (j - 1) * (j - 2)
+                    / (i + j - 5) * times[k] ** (i + j - 5)
+                )
+    return Q
+
+
+def opt_ct(m):
+    """Ct of StackOptiDep (qp_generator.cpp:357-390), dense."""
+    num_f, num_p = 6, 3 * m - 3
+    ct = np.zeros((6 * m, num_f + num_p))
+    ct[0, 0] = 1
+    ct[2, 1] = 1
+    ct[4, 2] = 1
+    ct[1, 6] = 1
+    ct[3, 7] = 1
+    ct[5, 8] = 1
+    ct[6 * (m - 1) + 0, 3 * m + 0] = 1
+    ct[6 * (m - 1) + 2, 3 * m + 1] = 1
+    ct[6 * (m - 1) + 4, 3 * m + 2] = 1
+    ct[6 * (m - 1) + 1, 3] = 1
+    ct[6 * (m - 1) + 3, 4] = 1
+    ct[6 * (m - 1) + 5, 5] = 1
+    for j in range(2, m):
+        ct[6 * (j - 1) + 0, 6 + 3 * (j - 2) + 0] = 1
+        ct[6 * (j - 1) + 1, 6 + 3 * (j - 1) + 0] = 1
+        ct[6 * (j - 1) + 2, 6 + 3 * (j - 2) + 1] = 1
+        ct[6 * (j - 1) + 3, 6 + 3 * (j - 1) + 1] = 1
+        ct[6 * (j - 1) + 4, 6 + 3 * (j - 2) + 2] = 1
+        ct[6 * (j - 1) + 5, 6 + 3 * (j - 1) + 2] = 1
+    return ct
+
+
+class GoldenDeps:
+    """A, Q, Ct, L, R and blocks for the optimizer partition."""
+
+    def __init__(self, times):
+        times = np.asarray(times, dtype=np.float64)
+        m = self.m = len(times)
+        self.A = mapping_matrix(times)
+        self.Q = snap_hessian(times)
+        ct = opt_ct(m)
+        ainv = np.linalg.inv(self.A)
+        self.L = ainv @ ct
+        self.R = ct.T @ ainv.T @ self.Q @ ainv @ ct
+        self.Rff = self.R[:6, :6]
+        self.Rfp = self.R[:6, 6:]
+        self.Rpf = self.R[6:, :6]
+        self.Rpp = self.R[6:, 6:]
+        self.num_dp = 3 * m - 3
+
+
+def straight_line_init(waypoints, mean_v, init_time):
+    """Segment times + initial (Df, Dp) for the setPath flow
+    (grad_traj_optimizer.cpp:67-110 with type=2 QP)."""
+    wp = np.asarray(waypoints, dtype=np.float64)
+    m = len(wp) - 1
+    times = np.zeros(m)
+    for i in range(m):
+        ln = np.linalg.norm(wp[i] - wp[i + 1])
+        times[i] = ln / mean_v + (init_time if i == 0 else 0.0)
+    Df = np.zeros((3, 6))
+    Df[:, 0] = wp[0]
+    Df[:, 3] = wp[m]
+    Dp = np.zeros((3, 3 * m - 3))
+    for k in range(1, m):
+        Dp[:, (k - 1) * 3] = wp[k]
+    return times, Df, Dp
+
+
+# ---------------------------------------------------------------------------
+# Cost and gradient (reference grad_traj_optimizer.cpp:281-448)
+# ---------------------------------------------------------------------------
+
+
+class GoldenOptimizer:
+    def __init__(self, sdf_map: GoldenSDFMap, cfg):
+        """cfg is an OptimizerConfig (duck-typed)."""
+        self.map = sdf_map
+        self.cfg = cfg
+
+    def setup(self, waypoints):
+        self.waypoints = np.asarray(waypoints, dtype=np.float64)
+        self.times, self.Df, self.Dp0 = straight_line_init(
+            waypoints, self.cfg.mean_v, self.cfg.init_time
+        )
+        self.deps = GoldenDeps(self.times)
+        self.V = np.zeros((6, 6))
+        for i in range(5):
+            self.V[i, i + 1] = i + 1
+
+    def coeff_from_d(self, dp):
+        """coeff (m, 3, 6): grad_traj_optimizer.cpp:253-279."""
+        deps = self.deps
+        m = deps.m
+        out = np.zeros((m, 3, 6))
+        for ax in range(3):
+            d = np.concatenate([self.Df[ax], dp[ax]])
+            coe = deps.L @ d
+            for s in range(m):
+                out[s, ax] = coe[6 * s : 6 * s + 6]
+        return out
+
+    def cost_and_grad(self, dp, step=2):
+        cfg = self.cfg
+        deps = self.deps
+        num_dp = deps.num_dp
+        cost_smooth = 0.0
+        g_smooth = np.zeros((3, num_dp))
+        for ax in range(3):
+            d = np.concatenate([self.Df[ax], dp[ax]])
+            cost_smooth += d @ deps.R @ d
+            g_smooth[ax] = 2 * deps.Rfp.T @ self.Df[ax] + 2 * deps.Rpp @ dp[ax]
+
+        coe = self.coeff_from_d(dp)
+        cost_colli = 0.0
+        g_colli = np.zeros((3, num_dp))
+        if abs(cfg.w_collision) >= 1e-4:
+            for s in range(deps.m):
+                Ldp = deps.L[6 * s : 6 * s + 6, 6:]
+                dt = self.times[s] / cfg.n_samples
+                t = cfg.t_offset
+                while t < self.times[s]:
+                    tv = np.array([t**i for i in range(6)])
+                    tvv = tv @ self.V  # velocity basis
+                    pos = coe[s] @ tv
+                    vel = coe[s] @ tvv
+                    vel_norm = np.linalg.norm(vel) + cfg.vel_eps
+                    dist, grad = self.map.dist_with_grad_trilinear(pos)
+                    cd = cfg.alpha * np.exp(-(dist - cfg.d0) / cfg.r)
+                    gd = -(cfg.alpha / cfg.r) * np.exp(
+                        -(dist - cfg.d0) / cfg.r
+                    )
+                    cost_colli += cd * vel_norm * dt
+                    TL = tv @ Ldp
+                    TVL = tvv @ Ldp
+                    for k in range(3):
+                        g_colli[k] += (
+                            gd * grad[k] * cd * vel_norm * TL
+                            + cd * (vel[k] / vel_norm) * TVL
+                        ) * dt
+                    t += dt
+
+        ws = 0.0 if step == 1 else cfg.w_smooth
+        wc = cfg.w_collision
+        cost = ws * cost_smooth + wc * cost_colli + cfg.cost_eps
+        grad = ws * g_smooth + wc * g_colli + cfg.grad_eps
+        return cost, grad
+
+    def bounds(self):
+        """grad_traj_optimizer.cpp:154-177."""
+        cfg = self.cfg
+        num_dp = self.deps.num_dp
+        lb = np.zeros((3, num_dp))
+        ub = np.zeros((3, num_dp))
+        for i in range(num_dp):
+            if i % 3 == 0:
+                wpt = self.waypoints[i // 3 + 1]
+                lb[:, i] = wpt - cfg.bos
+                ub[:, i] = wpt + cfg.bos
+            elif i % 3 == 1:
+                lb[:, i], ub[:, i] = -cfg.vos, cfg.vos
+            else:
+                lb[:, i], ub[:, i] = -cfg.aos, cfg.aos
+        return lb, ub
+
+    def optimize(self, steps=(2,)):
+        """Deterministic float64 run of the same projected descent the TPU
+        path uses (opt/descent.py), for end-to-end parity checks."""
+        cfg = self.cfg
+        dp = self.Dp0.copy()
+        lb, ub = self.bounds()
+        dp = np.clip(dp, lb, ub)
+        for step in steps:
+            iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
+            lr = cfg.lr0
+            cost = self.cost_only(dp, step)
+            for _ in range(iters):
+                _, g = self.cost_and_grad(dp, step)
+                gnorm = np.linalg.norm(g) + 1e-12
+                cand = np.clip(dp - (lr / gnorm) * g, lb, ub)
+                c2 = self.cost_only(cand, step)
+                if c2 < cost:
+                    dp, cost = cand, c2
+                    lr = min(lr * cfg.lr_grow, cfg.lr_max)
+                else:
+                    lr = max(lr * cfg.lr_shrink, cfg.lr_min)
+        return dp, self.coeff_from_d(dp)
+
+    def cost_only(self, dp, step=2):
+        c, _ = self.cost_and_grad(dp, step)
+        return c

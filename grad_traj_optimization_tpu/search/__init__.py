@@ -1,0 +1,6 @@
+from grad_traj_optimization_tpu.search import (  # noqa: F401
+    grid_search,
+    kinodynamic,
+    predictor,
+    rdp,
+)

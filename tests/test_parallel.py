@@ -1,0 +1,76 @@
+"""Sharded solving and sharded EDT on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu import solver as solve_mod
+from grad_traj_optimization_tpu.config import MapConfig, OptimizerConfig
+from grad_traj_optimization_tpu.fields import sdf
+from grad_traj_optimization_tpu.parallel import edt_sharded, mesh as pmesh
+
+
+def _tiny_batch(batch):
+    map_cfg = MapConfig(
+        origin=(-2.0, -2.0, 0.0), resolution=0.25, map_size=(4.0, 4.0, 2.0)
+    )
+    rng = np.random.default_rng(0)
+    grid = map_cfg.grid_shape
+    occ = (rng.random((batch,) + grid) < 0.05).astype(np.float32)
+    dist = jax.vmap(lambda o: sdf.edt(o, map_cfg.resolution))(
+        jnp.asarray(occ)
+    )
+    wps = rng.uniform(-1.2, 1.2, size=(batch, 5, 3)).astype(np.float32)
+    wps[..., 2] = rng.uniform(0.5, 1.5, size=(batch, 5))
+    return solve_mod.Scenario(
+        dist=dist,
+        origin=jnp.broadcast_to(
+            jnp.asarray(map_cfg.origin, jnp.float32), (batch, 3)
+        ),
+        resolution=jnp.full((batch,), map_cfg.resolution, jnp.float32),
+        waypoints=jnp.asarray(wps),
+    )
+
+
+def test_sharded_solve_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest should give 8 CPU devices"
+    cfg = OptimizerConfig(iters_step1=3, iters_step2=5)
+    scns = _tiny_batch(16)
+    m = pmesh.make_mesh(n_data=8, n_space=1)
+    sols_sharded = pmesh.sharded_solve(scns, m, cfg=cfg, steps=(2,))
+    sols_local = solve_mod.solve_batch(
+        scns, cfg=cfg, steps=(2,), record_trace=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(sols_sharded.coeff), np.asarray(sols_local.coeff),
+        rtol=1e-5, atol=1e-5,
+    )
+    stats = pmesh.convergence_stats(sols_sharded)
+    assert float(stats["n_ok"]) == 16.0
+
+
+def test_sharded_edt_matches_local():
+    m = pmesh.make_mesh(n_data=1, n_space=8)
+    rng = np.random.default_rng(1)
+    occ = (rng.random((40, 12, 6)) < 0.07).astype(np.float32)
+    d_sh = edt_sharded.edt_sharded(jnp.asarray(occ), 0.2, m)
+    d_loc = sdf.edt(jnp.asarray(occ), 0.2)
+    np.testing.assert_allclose(
+        np.asarray(d_sh), np.asarray(d_loc), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_edt_empty_and_full():
+    m = pmesh.make_mesh(n_data=1, n_space=4)
+    occ = np.zeros((16, 8, 4), np.float32)
+    d = edt_sharded.edt_sharded(jnp.asarray(occ), 0.5, m)
+    np.testing.assert_allclose(np.asarray(d), sdf.FREE_DIST)
+    occ[:] = 1.0
+    d = edt_sharded.edt_sharded(jnp.asarray(occ), 0.5, m)
+    np.testing.assert_allclose(np.asarray(d), 0.0)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

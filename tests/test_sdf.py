@@ -1,0 +1,89 @@
+"""SDF/EDT layer vs brute force and the float64 golden port."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu.fields import sdf
+from grad_traj_optimization_tpu.reference_impl import golden
+
+
+def _random_occ(shape, p=0.08, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random(shape) < p).astype(np.float32)
+
+
+def test_edt_matches_brute_force():
+    occ = _random_occ((9, 7, 5), seed=1)
+    d = np.asarray(sdf.edt(jnp.asarray(occ), 0.2))
+    bf = np.asarray(sdf.edt_brute_force(jnp.asarray(occ), 0.2))
+    np.testing.assert_allclose(d, bf, rtol=1e-5, atol=1e-5)
+
+
+def test_edt_matches_golden_felzenszwalb():
+    occ = _random_occ((12, 10, 6), p=0.05, seed=2)
+    gm = golden.GoldenSDFMap((0, 0, 0), 0.2, (2.4, 2.0, 1.2))
+    gm.occ = occ.astype(np.float64)
+    gm.update_esdf()
+    d = np.asarray(sdf.edt(jnp.asarray(occ), 0.2))
+    np.testing.assert_allclose(d, gm.dist, rtol=1e-5, atol=1e-5)
+
+
+def test_edt_empty_map_is_free_dist():
+    occ = np.zeros((6, 6, 4), np.float32)
+    d = np.asarray(sdf.edt(jnp.asarray(occ), 0.2))
+    np.testing.assert_allclose(d, sdf.FREE_DIST)
+
+
+def test_edt_occupied_cells_zero():
+    occ = _random_occ((8, 8, 8), p=0.2, seed=3)
+    d = np.asarray(sdf.edt(jnp.asarray(occ), 0.25))
+    assert np.all(d[occ > 0.5] == 0.0)
+
+
+def test_rasterize_matches_golden():
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-1.0, 3.0, size=(200, 3))  # includes out-of-map points
+    origin = np.array([0.0, 0.0, 0.0])
+    res = 0.2
+    gm = golden.GoldenSDFMap(origin, res, (2.0, 2.0, 2.0))
+    for p in pts:
+        gm.set_occupancy(p)
+    occ = np.asarray(
+        sdf.rasterize(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(origin, jnp.float32),
+            res, gm.occ.shape,
+        )
+    )
+    np.testing.assert_array_equal(occ, gm.occ)
+
+
+def test_trilinear_matches_golden():
+    occ = _random_occ((14, 12, 8), p=0.1, seed=5)
+    origin = np.array([-1.0, -1.0, 0.0])
+    res = 0.25
+    gm = golden.GoldenSDFMap(origin, res, (14 * res, 12 * res, 8 * res))
+    gm.occ = occ.astype(np.float64)
+    gm.update_esdf()
+
+    d_grid = jnp.asarray(gm.dist, jnp.float32)
+    rng = np.random.default_rng(6)
+    queries = rng.uniform(-1.2, 2.2, size=(300, 3))  # includes out-of-map
+    d, g = sdf.distance_and_gradient(
+        d_grid, jnp.asarray(origin, jnp.float32), res,
+        jnp.asarray(queries, jnp.float32),
+    )
+    d, g = np.asarray(d), np.asarray(g)
+    for i, q in enumerate(queries):
+        dg, gg = gm.dist_with_grad_trilinear(q)
+        np.testing.assert_allclose(d[i], dg, rtol=1e-4, atol=1e-4)
+        if dg >= 0:  # in map: gradient defined
+            np.testing.assert_allclose(g[i], gg, rtol=1e-3, atol=1e-3)
+
+
+def test_distance_at_out_of_map():
+    d_grid = jnp.ones((4, 4, 4), jnp.float32)
+    d = sdf.distance_at(
+        d_grid, jnp.zeros(3, jnp.float32), 0.5,
+        jnp.asarray([[5.0, 0.2, 0.2], [0.2, 0.2, 0.2]], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(d), [-1.0, 1.0])

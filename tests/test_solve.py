@@ -1,0 +1,157 @@
+"""End-to-end solve: golden parity, batching, fixtures."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu import fixtures
+from grad_traj_optimization_tpu import solver as solve_mod
+from grad_traj_optimization_tpu.config import MapConfig, OptimizerConfig
+from grad_traj_optimization_tpu.core import poly
+from grad_traj_optimization_tpu.fields import sdf
+from grad_traj_optimization_tpu.reference_impl import golden
+
+
+def _small_cfg():
+    # small iteration budget keeps the float64 oracle affordable in tests
+    return OptimizerConfig(iters_step1=10, iters_step2=25)
+
+
+def _small_scene():
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25, map_size=(10.0, 10.0, 4.0)
+    )
+    pts = []
+    for x in np.arange(-2.0, 2.0, map_cfg.resolution):
+        for z in np.arange(0.1, 4.0, map_cfg.resolution):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    obss = np.array(pts)
+    wp = np.array(
+        [
+            [0.0, -3.0, 2.0],
+            [0.3, -1.5, 2.0],
+            [0.0, 0.0, 2.0],
+            [-0.3, 1.5, 2.0],
+            [0.0, 3.0, 2.0],
+        ]
+    )
+    return map_cfg, obss, wp
+
+
+def test_solve_end_to_end_matches_float64_oracle():
+    """TPU-path f32 solve vs the identical float64 NumPy pipeline: final
+    sampled positions within the 1e-3 m tolerance (BASELINE.md)."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = _small_cfg()
+
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,))
+
+    gm = golden.GoldenSDFMap(
+        map_cfg.origin, map_cfg.resolution, map_cfg.map_size
+    )
+    for p in obss:
+        gm.set_occupancy(p)
+    gm.update_esdf()
+    gopt = golden.GoldenOptimizer(gm, cfg)
+    gopt.setup(wp)
+    dp_g, coeff_g = gopt.optimize(steps=(2,))
+
+    # compare sampled positions along the trajectory
+    T = np.asarray(sol.T, np.float64)
+    ts = np.linspace(1e-3, T.sum() - 1e-3, 200)
+    pos_j = np.asarray(poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32)))
+
+    edges = np.cumsum(T)
+    pos_g = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = int(np.searchsorted(edges, t, side="right"))
+        s = min(s, len(T) - 1)
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_g[i] = coeff_g[s] @ basis
+
+    dev = np.abs(pos_j - pos_g).max()
+    assert dev < 1e-3, f"positional deviation {dev} m >= 1e-3"
+
+
+def test_solve_improves_clearance_and_keeps_endpoints():
+    map_cfg, obss, wp = _small_scene()
+    cfg = _small_cfg()
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(1, 2))
+
+    assert int(sol.status) == solve_mod.STATUS_OK
+    assert int(sol.n_accept) > 0
+    # monotone cost envelope within each step
+    trace = np.asarray(sol.cost_trace)
+    s2 = trace[cfg.iters_step1 :]
+    assert np.all(np.diff(s2) <= 1e-6)
+
+    # endpoints pinned
+    p0 = np.asarray(poly.evaluate(sol.coeff, sol.T, jnp.asarray(0.0)))
+    p1 = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.sum(sol.T) - 1e-4)
+    )
+    np.testing.assert_allclose(p0, wp[0], atol=1e-3)
+    np.testing.assert_allclose(p1, wp[-1], atol=2e-2)
+
+    # the optimized trajectory stays clear of the wall and the optimizer
+    # made progress (cost strictly below the seed cost)
+    pos, _ = poly.sample_uniform(sol.coeff, sol.T, 300)
+    d = sdf.distance_at(scn.dist, scn.origin, scn.resolution, pos)
+    assert float(jnp.min(d)) > 0.25
+    # progress within step 2 (step 1 optimizes a different objective)
+    assert float(s2[-1]) < float(s2[0])
+
+
+def test_solve_batch_matches_single():
+    map_cfg, obss, wp = _small_scene()
+    cfg = _small_cfg()
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+
+    wps = np.stack([wp, wp + np.array([0.2, 0.0, 0.1])], axis=0)
+    batch = solve_mod.Scenario(
+        dist=jnp.broadcast_to(scn.dist, (2,) + scn.dist.shape),
+        origin=jnp.broadcast_to(scn.origin, (2, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (2,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    sols = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
+    single0 = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+    np.testing.assert_allclose(
+        np.asarray(sols.coeff[0]), np.asarray(single0.coeff),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert sols.coeff.shape[0] == 2
+
+
+def test_opti_node_fixture_runs():
+    map_cfg, obss, wp = fixtures.opti_node_scenario()
+    cfg = OptimizerConfig(iters_step2=30)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+    assert int(sol.status) == solve_mod.STATUS_OK
+    metrics = solve_mod.evaluate_solution(sol)
+    assert float(metrics["length"]) > 9.0  # path spans ~10 m corridor
+    assert np.isfinite(float(metrics["jerk"]))
+
+
+def test_kino_seeding_hits_states():
+    from grad_traj_optimization_tpu.core import qp
+
+    rng = np.random.default_rng(9)
+    pos = rng.uniform(-3, 3, size=(4, 3)).astype(np.float32)
+    vel = rng.uniform(-1, 1, size=(4, 3)).astype(np.float32)
+    acc = rng.uniform(-1, 1, size=(4, 3)).astype(np.float32)
+    T = np.array([1.0, 1.5, 0.8], np.float32)
+    coeff = np.asarray(qp.kino_coeff(pos, vel, acc, T))
+    for s in range(3):
+        b0 = np.array([0.0**j for j in range(6)])
+        b0[0] = 1.0
+        bT = np.array([T[s] ** j for j in range(6)])
+        np.testing.assert_allclose(coeff[s] @ b0, pos[s], atol=1e-3)
+        np.testing.assert_allclose(coeff[s] @ bT, pos[s + 1], atol=1e-3)
+        vT = np.asarray(poly.vel_powers(jnp.asarray(T[s])))
+        np.testing.assert_allclose(coeff[s] @ vT, vel[s + 1], atol=5e-3)

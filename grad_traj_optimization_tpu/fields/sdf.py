@@ -231,13 +231,20 @@ def distance_and_gradient(dist, origin, resolution, pos):
     idx_pos = (idx.astype(pos.dtype) + 0.5) * res + origin
     diff = (pos - idx_pos) / res  # in [0, 1)
 
-    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    # one fused gather of all 8 corners (cheaper than 8 separate gathers)
+    nx, ny, nz = dist.shape
+    offs = jnp.asarray(
+        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)],
+        dtype=idx.dtype,
+    )  # (8, 3)
+    corner = idx[..., None, :] + offs  # (..., 8, 3)
+    cx = jnp.clip(corner[..., 0], 0, nx - 1)
+    cy = jnp.clip(corner[..., 1], 0, ny - 1)
+    cz = jnp.clip(corner[..., 2], 0, nz - 1)
+    v8 = jnp.take(dist.reshape(-1), (cx * ny + cy) * nz + cz)  # (..., 8)
     v = [
-        [
-            [_gather_clamped(dist, ix + dx, iy + dy, iz + dz) for dz in (0, 1)]
-            for dy in (0, 1)
-        ]
-        for dx in (0, 1)
+        [[v8[..., 4 * a + 2 * b + c] for c in (0, 1)] for b in (0, 1)]
+        for a in (0, 1)
     ]
     dx_, dy_, dz_ = diff[..., 0], diff[..., 1], diff[..., 2]
 

@@ -1,0 +1,139 @@
+"""Benchmark/evaluation harness.
+
+Rebuild of the reference's compare2/compare22 measurement flow
+(src/compare2.cpp:85-342): run front-end search and back-end optimization
+over a stream of (map, start, goal) cases and log per-case
+``solve_time, traj_time, acc_cost`` plus jerk and the monotone
+cost-vs-iteration curve (reference getCostCurve,
+grad_traj_optimizer.cpp:438-447).  Instead of hard-coded text files and a
+ROS /finish_test handshake, results are returned as structured records
+(and optionally dumped to JSON lines).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu.config import OptimizerConfig
+from grad_traj_optimization_tpu.core import poly
+from grad_traj_optimization_tpu import solver as solve_mod
+from grad_traj_optimization_tpu.search import grid_search, rdp
+
+
+@dataclasses.dataclass
+class CaseRecord:
+    """One benchmark case (compare2.cpp logs :219-231, 296-321)."""
+
+    case_id: int
+    frontend_time_s: float      # search wall time ('time in search')
+    backend_time_s: float       # optimization wall time
+    traj_time_s: float          # trajectory duration sum(T)
+    traj_length_m: float
+    acc_cost: float             # front-end metric (polynomial_traj:94-106)
+    jerk: float                 # back-end metric (polynomial_traj:108-138)
+    cost_curve: list            # monotone best-cost envelope
+    status: int
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["cost_curve"] = [round(float(x), 6) for x in self.cost_curve]
+        return json.dumps(d)
+
+
+def run_case(
+    case_id,
+    dist_grid,
+    origin,
+    resolution,
+    start,
+    goal,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    rdp_epsilon: float = 0.4,
+    clearance: float = 0.4,
+    steps=(2,),
+) -> CaseRecord:
+    """Front-end (wavefront search + RDP waypoints) then back-end solve."""
+    origin = jnp.asarray(origin, jnp.float32)
+
+    t0 = time.perf_counter()
+    plan = grid_search.plan(
+        dist_grid, origin, resolution, np.asarray(start),
+        np.asarray(goal), clearance=clearance,
+    )
+    jax.block_until_ready(plan.path)
+    t_front = time.perf_counter() - t0
+
+    n = int(plan.length)
+    path = np.asarray(plan.path)[: max(n, 2)]
+    waypoints = rdp.simplify(path, rdp_epsilon)
+    if len(waypoints) < 3:
+        waypoints = np.stack(
+            [path[0], 0.5 * (path[0] + path[-1]), path[-1]]
+        )
+
+    scn = solve_mod.Scenario(
+        dist=dist_grid,
+        origin=origin,
+        resolution=jnp.asarray(resolution, jnp.float32),
+        waypoints=jnp.asarray(waypoints, jnp.float32),
+    )
+    t0 = time.perf_counter()
+    sol = solve_mod.solve(scn, cfg=cfg, steps=steps, record_trace=True)
+    jax.block_until_ready(sol)
+    t_back = time.perf_counter() - t0
+
+    return CaseRecord(
+        case_id=case_id,
+        frontend_time_s=t_front,
+        backend_time_s=t_back,
+        traj_time_s=float(jnp.sum(sol.T)),
+        traj_length_m=float(poly.length(sol.coeff, sol.T)),
+        acc_cost=float(poly.acc_cost(sol.coeff, sol.T)),
+        jerk=float(poly.jerk_cost(sol.coeff, sol.T)),
+        cost_curve=list(np.asarray(sol.cost_trace)),
+        status=int(sol.status),
+    )
+
+
+def run_suite(cases, out_path: str | None = None, **kwargs):
+    """Run a list of (dist, origin, resolution, start, goal) cases.
+
+    Returns the records; optionally appends JSON lines to ``out_path``
+    (the structured replacement for compare2's front2.txt/back2.txt).
+    """
+    records = []
+    for i, (dist, origin, res, start, goal) in enumerate(cases):
+        rec = run_case(i, dist, origin, res, start, goal, **kwargs)
+        records.append(rec)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(rec.to_json() + "\n")
+    return records
+
+
+def summarize(records):
+    """Aggregate statistics across a suite."""
+    def pct(xs, q):
+        return float(np.percentile(np.asarray(xs), q))
+
+    fe = [r.frontend_time_s for r in records]
+    be = [r.backend_time_s for r in records]
+    return {
+        "n_cases": len(records),
+        "n_ok": sum(1 for r in records if r.status == 0),
+        "frontend_p50_ms": pct(fe, 50) * 1e3,
+        "frontend_p95_ms": pct(fe, 95) * 1e3,
+        "backend_p50_ms": pct(be, 50) * 1e3,
+        "backend_p95_ms": pct(be, 95) * 1e3,
+        "mean_jerk": float(np.mean([r.jerk for r in records])),
+        "mean_acc_cost": float(np.mean([r.acc_cost for r in records])),
+        "mean_traj_time_s": float(
+            np.mean([r.traj_time_s for r in records])
+        ),
+    }

@@ -1,0 +1,138 @@
+"""ctypes bindings for the native host engine (native/gtop_core.cpp).
+
+The TPU path owns batched solving; this binding exposes the C++ engine
+for host-side work: oracle-grade double-precision solves, low-latency
+single solves without an accelerator round-trip, and fast multithreaded
+EDT builds for data generation.
+
+The library is built on demand (``make -C native``) and loaded lazily;
+:func:`available` reports whether it is usable so callers can fall back
+to the JAX path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception as e:  # toolchain missing — stay unavailable
+            raise RuntimeError(f"native build failed: {e}") from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    lib.gtop_edt.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        f32p,
+    ]
+    lib.gtop_edt.restype = None
+    lib.gtop_trilinear.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ctypes.c_float, f32p, ctypes.c_int, f32p, f32p,
+    ]
+    lib.gtop_trilinear.restype = None
+    lib.gtop_solve.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ctypes.c_float, f64p, ctypes.c_int, f64p, f64p, f64p,
+    ]
+    lib.gtop_solve.restype = ctypes.c_double
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def edt(occ: np.ndarray, resolution: float) -> np.ndarray:
+    """Multithreaded exact EDT (Felzenszwalb), float32 in/out."""
+    lib = _load()
+    occ = np.ascontiguousarray(occ, dtype=np.float32)
+    out = np.empty_like(occ)
+    nx, ny, nz = occ.shape
+    lib.gtop_edt(_f32p(occ), nx, ny, nz, resolution, _f32p(out))
+    return out
+
+
+def trilinear(dist, origin, resolution, queries):
+    """Batched trilinear distance + gradient."""
+    lib = _load()
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    origin = np.ascontiguousarray(origin, dtype=np.float32)
+    q = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, 3)
+    n = len(q)
+    d = np.empty(n, np.float32)
+    g = np.empty((n, 3), np.float32)
+    nx, ny, nz = dist.shape
+    lib.gtop_trilinear(
+        _f32p(dist), nx, ny, nz, _f32p(origin), resolution, _f32p(q), n,
+        _f32p(d), _f32p(g),
+    )
+    return d, g
+
+
+def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
+    """Deterministic double-precision solve, same algorithm as solver.py.
+
+    Args:
+      cfg: an OptimizerConfig.
+    Returns:
+      (coeff (m, 3, 6) float64, times (m,), cost).
+    """
+    lib = _load()
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    origin32 = np.ascontiguousarray(origin, dtype=np.float32)
+    wp = np.ascontiguousarray(waypoints, dtype=np.float64)
+    n_wp = len(wp)
+    m = n_wp - 1
+    steps_mask = sum(steps)
+    cfg_arr = np.array(
+        [
+            cfg.w_smooth, cfg.w_collision, cfg.alpha, cfg.d0, cfg.r,
+            cfg.bos, cfg.vos, cfg.aos, cfg.mean_v, cfg.init_time,
+            cfg.lr0, cfg.lr_grow, cfg.lr_shrink, cfg.lr_min, cfg.lr_max,
+            cfg.n_samples, cfg.iters_step1, cfg.iters_step2, steps_mask,
+            cfg.cost_eps, cfg.grad_eps, cfg.vel_eps, cfg.t_offset,
+        ],
+        dtype=np.float64,
+    )
+    coeff = np.empty((m, 3, 6), np.float64)
+    times = np.empty(m, np.float64)
+    nx, ny, nz = dist.shape
+    cost = lib.gtop_solve(
+        _f32p(dist), nx, ny, nz, _f32p(origin32), resolution, _f64p(wp),
+        n_wp, _f64p(cfg_arr), _f64p(coeff), _f64p(times),
+    )
+    return coeff, times, cost

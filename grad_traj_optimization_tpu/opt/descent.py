@@ -56,25 +56,30 @@ def minimize(
     dp0 = jnp.clip(jnp.asarray(dp0), lb, ub)
     lr0 = jnp.asarray(cfg.lr0, dtype=dp0.dtype)
 
+    # One fused cost+grad evaluation per iteration: the gradient comes out
+    # of the same eval that scores the candidate, and is cached across
+    # rejected steps.  This produces the *identical* iterate sequence as
+    # the textbook two-eval scheme (grad at current, cost at candidate)
+    # at roughly half the work — the gradient at an unchanged dp is
+    # unchanged, so caching it is exact.
     def body(state, _):
-        dp, lr, cost, n_acc = state
-        _, g = cost_and_grad(dp)
-        # normalize the step by gradient scale so lr is unit-free
-        gnorm = jnp.linalg.norm(g) + 1e-12
-        cand = jnp.clip(dp - (lr / gnorm) * g, lb, ub)
-        c_cand = cost_only(cand)
-        accept = c_cand < cost
+        dp, grad, lr, cost, n_acc = state
+        gnorm = jnp.linalg.norm(grad) + 1e-12  # unit-free step size
+        cand = jnp.clip(dp - (lr / gnorm) * grad, lb, ub)
+        c2, g2 = cost_and_grad(cand)
+        accept = c2 < cost
         dp = jnp.where(accept, cand, dp)
-        cost = jnp.where(accept, c_cand, cost)
+        grad = jnp.where(accept, g2, grad)
+        cost = jnp.where(accept, c2, cost)
         lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
         lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
         n_acc = n_acc + accept.astype(jnp.int32)
         out = cost if record_trace else None
-        return (dp, lr, cost, n_acc), out
+        return (dp, grad, lr, cost, n_acc), out
 
-    c0 = cost_only(dp0)
-    init = (dp0, lr0, c0, jnp.zeros((), jnp.int32))
-    (dp, _, cost, n_acc), trace = jax.lax.scan(
+    c0, g0 = cost_and_grad(dp0)
+    init = (dp0, g0, lr0, c0, jnp.zeros((), jnp.int32))
+    (dp, _, _, cost, n_acc), trace = jax.lax.scan(
         body, init, None, length=iters
     )
     if not record_trace:

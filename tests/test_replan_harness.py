@@ -1,0 +1,91 @@
+"""Receding-horizon replanning loop and the benchmark harness."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu import harness, replan
+from grad_traj_optimization_tpu.config import OptimizerConfig
+from grad_traj_optimization_tpu.fields import sdf
+
+
+def _wall_map():
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = []
+    for x in np.arange(-5.0, 5.0, res):
+        for z in np.arange(0.1, 4.0, res):
+            if abs(x) > 0.8:
+                pts.append((x, 0.0, z))
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    return sdf.edt(occ, res), origin, res
+
+
+def test_replan_reaches_goal_static():
+    dist, origin, res = _wall_map()
+    rcfg = replan.ReplanConfig(
+        replan_dt=0.8, max_ticks=15, kino_iters=10, kino_beam=32,
+        margin=0.2,
+    )
+    ocfg = OptimizerConfig(iters_step1=5, iters_step2=15)
+    results = replan.replan_loop(
+        dist, origin, res,
+        start_state=np.array([0, -3, 2, 0, 0, 0], np.float64),
+        goal=np.array([0, 3, 2, 0, 0, 0], np.float64),
+        rcfg=rcfg, ocfg=ocfg,
+    )
+    assert len(results) >= 1
+    assert results[-1].reached_goal
+    # clearance maintained through every tick
+    assert all(r.min_clearance > 0.1 for r in results)
+
+
+def test_replan_with_moving_obstacle():
+    dist, origin, res = _wall_map()
+    # obstacle crossing the corridor
+    def update(t):
+        hist_t = np.array([[t - 0.5, t]])
+        x = -3.0 + 1.0 * t
+        hist = np.array([[[x - 0.5, -2.0, 2.0], [x, -2.0, 2.0]]])
+        return hist, hist_t, np.array([[0.8, 0.8, 1.5]])
+
+    rcfg = replan.ReplanConfig(
+        replan_dt=0.8, max_ticks=12, kino_iters=8, kino_beam=32,
+        margin=0.25,
+    )
+    ocfg = OptimizerConfig(iters_step1=4, iters_step2=10)
+    results = replan.replan_loop(
+        dist, origin, res,
+        start_state=np.array([0, -3, 2, 0, 0, 0], np.float64),
+        goal=np.array([0, 3, 2, 0, 0, 0], np.float64),
+        obstacle_update=update, rcfg=rcfg, ocfg=ocfg,
+    )
+    assert len(results) >= 1
+    assert np.isfinite(
+        np.concatenate([r.state for r in results])
+    ).all()
+
+
+def test_harness_suite_and_summary(tmp_path):
+    dist, origin, res = _wall_map()
+    cases = [
+        (dist, origin, res, [0, -3, 2], [0, 3, 2]),
+        (dist, origin, res, [-2, -3, 1.5], [2, 3, 2.5]),
+    ]
+    out = tmp_path / "bench.jsonl"
+    cfg = OptimizerConfig(iters_step2=20)
+    records = harness.run_suite(cases, out_path=str(out), cfg=cfg)
+    assert len(records) == 2
+    assert all(r.status == 0 for r in records)
+    assert all(r.traj_length_m > 5.0 for r in records)
+    # monotone cost curves
+    for r in records:
+        assert all(
+            b <= a + 1e-6 for a, b in zip(r.cost_curve, r.cost_curve[1:])
+        )
+    s = harness.summarize(records)
+    assert s["n_ok"] == 2
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2

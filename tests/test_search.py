@@ -1,0 +1,213 @@
+"""Front-end search layer: grid wavefront, RDP, predictor, kinodynamic."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grad_traj_optimization_tpu.fields import sdf, dynamic
+from grad_traj_optimization_tpu.search import (
+    grid_search,
+    kinodynamic,
+    predictor,
+    rdp,
+)
+
+
+def _wall_map():
+    """10x10x4 m map, wall at y=0 with a gap around x in [-0.6, 0.6]."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = []
+    for x in np.arange(-5.0, 5.0, res):
+        for z in np.arange(0.1, 4.0, res):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    dist = sdf.edt(occ, res)
+    return dist, origin, res
+
+
+def test_grid_plan_through_gap():
+    dist, origin, res = _wall_map()
+    plan = grid_search.plan(
+        dist, origin, res,
+        np.array([0.0, -3.0, 2.0]), np.array([0.0, 3.0, 2.0]),
+    )
+    assert bool(plan.reached)
+    n = int(plan.length)
+    path = np.asarray(plan.path)[:n]
+    # path endpoints at start/goal cells
+    np.testing.assert_allclose(path[0], [0.125, -2.875, 2.125], atol=0.26)
+    np.testing.assert_allclose(path[-1], [0.125, 3.125, 2.125], atol=0.26)
+    # every path point keeps clearance
+    d = np.asarray(sdf.distance_at(dist, jnp.asarray(origin, jnp.float32),
+                                   res, jnp.asarray(path, jnp.float32)))
+    assert (d >= 0.4 - 1e-6).all()
+    # passes through the gap: where the path crosses y≈0, |x| < 0.6
+    cross = path[np.abs(path[:, 1]) < 0.3]
+    assert len(cross) > 0 and np.all(np.abs(cross[:, 0]) < 0.7)
+
+
+def test_grid_plan_unreachable():
+    dist, origin, res = _wall_map()
+    # goal inside the wall (blocked by clearance) but endpoints are
+    # unblocked by design; instead wall off completely: clearance so large
+    # nothing passes
+    plan = grid_search.plan(
+        dist, origin, res,
+        np.array([0.0, -3.0, 2.0]), np.array([0.0, 3.0, 2.0]),
+        clearance=10.0,
+    )
+    assert not bool(plan.reached)
+
+
+def test_rdp_matches_shape():
+    # a dense L-shaped path simplifies to ~3 points
+    a = np.stack([np.linspace(0, 1, 50), np.zeros(50), np.zeros(50)], -1)
+    b = np.stack([np.ones(50), np.linspace(0, 1, 50), np.zeros(50)], -1)
+    curve = np.concatenate([a, b], axis=0)
+    simp = rdp.simplify(curve, epsilon=0.01)
+    assert 3 <= len(simp) <= 5
+    np.testing.assert_allclose(simp[0], curve[0])
+    np.testing.assert_allclose(simp[-1], curve[-1])
+
+
+def test_rdp_keeps_deviating_point():
+    curve = np.array(
+        [[0, 0, 0], [1, 0.5, 0], [2, 0, 0]], dtype=np.float64
+    )
+    simp = rdp.simplify(curve, epsilon=0.1)
+    assert len(simp) == 3  # middle point deviates > eps
+
+
+def test_const_vel_prediction():
+    t = np.array([[0.0, 0.5, 1.0]])
+    pos = np.array([[[0, 0, 1], [0.5, 0, 1], [1.0, 0, 1]]], np.float32)
+    pred = predictor.fit_const_vel(
+        jnp.asarray(pos), jnp.asarray(t, jnp.float32),
+        jnp.asarray([[0.4, 0.4, 1.0]], jnp.float32),
+    )
+    p = np.asarray(predictor.predict_position(pred, jnp.asarray(2.0)))
+    np.testing.assert_allclose(p[0], [2.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_poly_fit_recovers_polynomial():
+    rng = np.random.default_rng(0)
+    ts = np.linspace(0.0, 2.0, 12)
+    coef = rng.uniform(-0.5, 0.5, size=(3, 3))  # quadratic truth
+    pos = np.stack(
+        [coef[d, 0] + coef[d, 1] * ts + coef[d, 2] * ts**2 for d in range(3)],
+        axis=-1,
+    )
+    pred = predictor.fit_poly(
+        jnp.asarray(pos[None], jnp.float32),
+        jnp.asarray(ts[None], jnp.float32),
+        jnp.asarray([[0.5, 0.5, 1.0]], jnp.float32),
+        lam=0.0,
+    )
+    p = np.asarray(predictor.predict_position(pred, jnp.asarray(1.3)))
+    truth = np.array(
+        [coef[d, 0] + coef[d, 1] * 1.3 + coef[d, 2] * 1.3**2 for d in range(3)]
+    )
+    np.testing.assert_allclose(p[0], truth, atol=5e-2)
+
+
+def test_dynamic_edt_min_over_boxes():
+    dist, origin, res = _wall_map()
+    # one box moving along +x at 1 m/s starting at (-2, -3, 2)
+    hist_pos = np.array([[[-2.5, -3, 2], [-2.0, -3, 2]]], np.float32)
+    hist_t = np.array([[-0.5, 0.0]], np.float32)
+    pred = predictor.fit_const_vel(
+        jnp.asarray(hist_pos), jnp.asarray(hist_t),
+        jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+    )
+    q = jnp.asarray([[-1.0, -3.0, 2.0]], jnp.float32)
+    # at t=0 box center (-2,-3,2), half=0.5 -> distance along x = 0.5
+    d0 = dynamic.evaluate_coarse(dist, jnp.asarray(origin, jnp.float32),
+                                 res, q, 0.0, pred)
+    np.testing.assert_allclose(float(d0[0]), 0.5, atol=1e-3)
+    # at t=1 box at (-1,-3,2): query inside -> 0
+    d1 = dynamic.evaluate_coarse(dist, jnp.asarray(origin, jnp.float32),
+                                 res, q, 1.0, pred)
+    np.testing.assert_allclose(float(d1[0]), 0.0, atol=1e-5)
+    # time < 0 -> static only (far from wall: large distance)
+    dm = dynamic.evaluate_coarse(dist, jnp.asarray(origin, jnp.float32),
+                                 res, q, -1.0, pred)
+    assert float(dm[0]) > 1.0
+
+
+def test_heuristic_matches_reference_formula():
+    """Check the quartic-based heuristic against brute-force minimization
+    of the Pontryagin cost over a dense time grid."""
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        x1 = rng.uniform(-3, 3, 6)
+        x2 = rng.uniform(-3, 3, 6)
+        w_time, max_vel = 10.0, 3.0
+        cost, t_opt = kinodynamic.estimate_heuristic(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+            w_time, max_vel,
+        )
+        dp = x2[:3] - x1[:3]
+        v0, v1 = x1[3:], x2[3:]
+        c1 = -36 * dp @ dp
+        c2 = 24 * (v0 + v1) @ dp
+        c3 = -4 * (v0 @ v0 + v0 @ v1 + v1 @ v1)
+        t_bar = np.abs(dp).max() / max_vel
+        ts = np.linspace(max(t_bar, 1e-3), 50.0, 200000)
+        cs = -c1 / (3 * ts**3) - c2 / (2 * ts**2) - c3 / ts + w_time * ts
+        brute = cs.min() * (1 + 1.0 / 10000.0)
+        assert abs(float(cost) - brute) / abs(brute) < 1e-2
+
+
+def test_shot_coeffs_hit_end_state():
+    rng = np.random.default_rng(2)
+    s1 = rng.uniform(-2, 2, 6).astype(np.float32)
+    s2 = rng.uniform(-2, 2, 6).astype(np.float32)
+    td = 1.7
+    coef = np.asarray(kinodynamic.shot_coeffs(
+        jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(td)
+    ))  # (3, 4)
+    tp = np.array([td**j for j in range(4)])
+    tv = np.array([0, 1, 2 * td, 3 * td**2])
+    np.testing.assert_allclose(coef @ tp, s2[:3], atol=1e-3)
+    np.testing.assert_allclose(coef @ tv, s2[3:], atol=1e-3)
+    np.testing.assert_allclose(coef[:, 0], s1[:3], atol=1e-6)
+    np.testing.assert_allclose(coef[:, 1], s1[3:], atol=1e-6)
+
+
+def test_kino_search_reaches_goal_free_space():
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    dist = jnp.full((40, 40, 16), sdf.FREE_DIST, jnp.float32)
+    start = np.array([0, -3, 2, 0, 0, 0], np.float32)
+    goal = np.array([0, 3, 2, 0, 0, 0], np.float32)
+    result = kinodynamic.search(
+        dist, origin, res, start, goal, max_iters=10, beam=32,
+    )
+    assert bool(result.reached)
+    assert np.isfinite(np.asarray(result.times)).all()
+    assert (np.asarray(result.times) > 0).all()
+    # final knot is the goal
+    np.testing.assert_allclose(
+        np.asarray(result.pos[-1]), goal[:3], atol=1e-5
+    )
+
+
+def test_kino_search_avoids_wall():
+    dist, origin, res = _wall_map()
+    start = np.array([0, -3, 2, 0, 0.5, 0], np.float32)
+    goal = np.array([0, 3, 2, 0, 0, 0], np.float32)
+    result = kinodynamic.search(
+        dist, origin, res, start, goal, max_iters=16, beam=64,
+        max_tau=0.4, margin=0.2,
+    )
+    # knots keep the margin from the wall
+    d = np.asarray(
+        sdf.distance_at(dist, jnp.asarray(origin, jnp.float32), res,
+                        jnp.asarray(result.pos))
+    )
+    assert (d > 0.15).all()

@@ -33,23 +33,22 @@ def main():
     origin = jnp.asarray(map_cfg.origin, jnp.float32)
     res = map_cfg.resolution
 
-    # ---- distance-field builds (sequenced by lax.map to bound memory) ----
+    # ---- distance-field builds: one batched EDT over all scenarios ----
     @jax.jit
     def build_fields(pts, valid):
-        def one(args):
-            p, v = args
-            occ = sdf.rasterize(p, origin, res, grid, valid_mask=v)
-            return sdf.edt(occ, res, chunk_bytes=1 << 26)
-
-        return jax.lax.map(
-            one, (pts.astype(jnp.float32), valid), batch_size=8
-        )
+        occ = jax.vmap(
+            lambda p, v: sdf.rasterize(p, origin, res, grid, valid_mask=v)
+        )(pts.astype(jnp.float32), valid)
+        return sdf.edt_batch(occ, res)
 
     t0 = time.perf_counter()
-    dist = jax.block_until_ready(
-        build_fields(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
-    )
+    dist = build_fields(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
+    _ = float(dist[0, 0, 0, 0])  # host-read sync
     t_edt_total = time.perf_counter() - t0  # includes compile
+    t0 = time.perf_counter()
+    d2 = build_fields(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
+    _ = float(d2[0, 0, 0, 0])
+    t_edt_warm = time.perf_counter() - t0
 
     scns = solve_mod.Scenario(
         dist=dist,
@@ -59,30 +58,46 @@ def main():
     )
 
     # ---- batched solve throughput ----
+    # NOTE on sync: block_until_ready under-synchronizes on tunneled
+    # platforms; a host read of a result scalar is the reliable barrier.
+    def sync(s):
+        return float(jnp.sum(s.cost))
+
     run = lambda: solve_mod.solve_batch(
         scns, cfg=cfg, steps=(2,), record_trace=False
     )
-    sols = jax.block_until_ready(run())  # compile + warm
+    sols = run()
+    sync(sols)  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        sync(run())
         times.append(time.perf_counter() - t0)
     t_batch = min(times)
     solves_per_s = BATCH / t_batch
 
-    # ---- single-solve p50 latency ----
+    # ---- single-solve latency ----
     one_scn = jax.tree.map(lambda x: x[0], scns)
     run1 = lambda: solve_mod.solve(
         one_scn, cfg=cfg, steps=(2,), record_trace=False
     )
-    jax.block_until_ready(run1())
+    sync1 = lambda s: float(s.cost)
+    sync1(run1())
+    # (a) round-trip p50 — includes host<->device link latency
     lat = []
     for _ in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(run1())
+        sync1(run1())
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
+    # (b) amortized device time — queue K async solves, one sync at the end
+    K = 50
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(K):
+        last = run1()
+    sync1(last)
+    amortized_ms = (time.perf_counter() - t0) / K * 1e3
 
     n_ok = int(jnp.sum(sols.status == 0))
     baseline_solves_per_s = 10.0  # reference: ~0.1 s/solve budget
@@ -95,8 +110,11 @@ def main():
                 "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
                 "batch": BATCH,
                 "p50_single_solve_ms": round(p50_ms, 3),
+                "amortized_single_solve_ms": round(amortized_ms, 3),
                 "batch_wall_s": round(t_batch, 4),
                 "edt_builds_total_s_incl_compile": round(t_edt_total, 2),
+                "edt_builds_warm_s": round(t_edt_warm, 3),
+                "edt_builds_per_s": round(BATCH / t_edt_warm, 1),
                 "n_status_ok": n_ok,
                 "device": str(jax.devices()[0]),
             }

@@ -145,7 +145,8 @@ def _minplus_axis(f, axis, chunk_bytes: int = 1 << 28):
     return jnp.moveaxis(out.reshape(shape), -1, axis)
 
 
-def edt(occ, resolution: float, prev_dist=None, chunk_bytes: int = 1 << 28):
+def edt(occ, resolution: float, prev_dist=None, chunk_bytes: int = 1 << 28,
+        backend: str = "auto"):
     """Exact unsigned Euclidean distance transform of an occupancy grid.
 
     Reference: SDFMap::updateESDF3d (sdf_map.cpp:310-368) — separable
@@ -156,15 +157,64 @@ def edt(occ, resolution: float, prev_dist=None, chunk_bytes: int = 1 << 28):
       occ: (nx, ny, nz) occupancy in {0, 1}.
       prev_dist: optional previous distance buffer for incremental updates
         (the reference's min with the old buffer).
+      backend: "auto" (Pallas kernel on TPU, jnp elsewhere), "pallas",
+        or "jnp" for the min-plus passes.
     Returns:
       (nx, ny, nz) float32 distance in meters.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     sq = _nearest_sq_1d(occ, axis=2)
-    sq = _minplus_axis(sq, axis=1, chunk_bytes=chunk_bytes)
-    sq = _minplus_axis(sq, axis=0, chunk_bytes=chunk_bytes)
+    if backend == "pallas":
+        from grad_traj_optimization_tpu.ops import edt_pallas
+
+        sq = edt_pallas.minplus_axis(sq, axis=1)
+        sq = edt_pallas.minplus_axis(sq, axis=0)
+    else:
+        sq = _minplus_axis(sq, axis=1, chunk_bytes=chunk_bytes)
+        sq = _minplus_axis(sq, axis=0, chunk_bytes=chunk_bytes)
     dist = resolution * jnp.sqrt(sq)
     base = FREE_DIST if prev_dist is None else prev_dist
     return jnp.minimum(dist, base).astype(jnp.float32)
+
+
+def edt_batch(occ, resolution: float, backend: str = "auto",
+              chunk_bytes: int = 1 << 28):
+    """EDT of a batch of occupancy grids in one shot.
+
+    A batch of grids is just more independent lines per separable pass, so
+    the batch axis folds into the line dimension of the same kernels — one
+    launch per pass for the whole batch, no vmap-of-kernel (which lowers
+    poorly for Pallas calls).
+
+    Args:
+      occ: (batch, nx, ny, nz).
+    Returns:
+      (batch, nx, ny, nz) float32 distances.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    B, nx, ny, nz = occ.shape
+    sq = _nearest_sq_1d(occ, axis=3)
+
+    if backend == "pallas":
+        from grad_traj_optimization_tpu.ops import edt_pallas
+
+        lines_fn = edt_pallas.minplus_lines
+    else:
+        lines_fn = lambda f: _minplus_parabola_lines(f, chunk_bytes)
+
+    # pass along y: lines are (B, nx, nz) x ny
+    sq = jnp.moveaxis(sq, 2, -1)  # (B, nx, nz, ny)
+    sq = lines_fn(sq.reshape(-1, ny)).reshape(B, nx, nz, ny)
+    sq = jnp.moveaxis(sq, -1, 2)
+    # pass along x
+    sq = jnp.moveaxis(sq, 1, -1)  # (B, ny, nz, nx)
+    sq = lines_fn(sq.reshape(-1, nx)).reshape(B, ny, nz, nx)
+    sq = jnp.moveaxis(sq, -1, 1)
+
+    dist = resolution * jnp.sqrt(sq)
+    return jnp.minimum(dist, FREE_DIST).astype(jnp.float32)
 
 
 def edt_brute_force(occ, resolution: float):
@@ -209,14 +259,19 @@ def distance_at(dist, origin, resolution, pos):
     return jnp.where(ok, d, -1.0)
 
 
-def distance_and_gradient(dist, origin, resolution, pos):
-    """Trilinear distance + analytic gradient at query positions.
+def trilinear_flat(flat, base, grid_shape, origin, resolution, pos):
+    """Trilinear distance + gradient against a FLAT field buffer.
 
-    Reference: getDistWithGradTrilinear (sdf_map.cpp:185-242).  Returns
-    (d, g) with d == -1 and g == 0 for out-of-map queries (the reference
-    leaves g uninitialized there — C++ UB we define as zero).
+    ``flat`` may hold many scenarios' grids back to back; ``base`` is this
+    scenario's offset.  Keeping the buffer unbatched under vmap makes the
+    whole batch's corner lookups one large flat gather — XLA lowers
+    per-scenario batched gathers orders of magnitude slower.
+
+    Reference semantics: getDistWithGradTrilinear (sdf_map.cpp:185-242);
+    out-of-map -> (-1, 0) (grad is C++-UB there, defined as zero).
 
     Args:
+      grid_shape: static (nx, ny, nz).
       pos: (..., 3).
     Returns:
       d: (...,), g: (..., 3).
@@ -224,7 +279,7 @@ def distance_and_gradient(dist, origin, resolution, pos):
     pos = jnp.asarray(pos)
     origin = jnp.asarray(origin, dtype=pos.dtype)
     res = jnp.asarray(resolution, dtype=pos.dtype)
-    ok = in_map(pos, origin, res, dist.shape)
+    ok = in_map(pos, origin, res, grid_shape)
 
     pos_m = pos - 0.5 * res
     idx = pos_to_index(pos_m, origin, res)
@@ -232,7 +287,7 @@ def distance_and_gradient(dist, origin, resolution, pos):
     diff = (pos - idx_pos) / res  # in [0, 1)
 
     # one fused gather of all 8 corners (cheaper than 8 separate gathers)
-    nx, ny, nz = dist.shape
+    nx, ny, nz = grid_shape
     offs = jnp.asarray(
         [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)],
         dtype=idx.dtype,
@@ -241,7 +296,7 @@ def distance_and_gradient(dist, origin, resolution, pos):
     cx = jnp.clip(corner[..., 0], 0, nx - 1)
     cy = jnp.clip(corner[..., 1], 0, ny - 1)
     cz = jnp.clip(corner[..., 2], 0, nz - 1)
-    v8 = jnp.take(dist.reshape(-1), (cx * ny + cy) * nz + cz)  # (..., 8)
+    v8 = jnp.take(flat, base + (cx * ny + cy) * nz + cz)  # (..., 8)
     v = [
         [[v8[..., 4 * a + 2 * b + c] for c in (0, 1)] for b in (0, 1)]
         for a in (0, 1)
@@ -270,6 +325,16 @@ def distance_and_gradient(dist, origin, resolution, pos):
     d = jnp.where(ok, d, -1.0)
     g = jnp.where(ok[..., None], g, 0.0)
     return d, g
+
+
+def distance_and_gradient(dist, origin, resolution, pos):
+    """Trilinear distance + gradient against a (nx, ny, nz) grid.
+
+    Thin wrapper over :func:`trilinear_flat` with base 0.
+    """
+    return trilinear_flat(
+        dist.reshape(-1), 0, dist.shape, origin, resolution, pos
+    )
 
 
 def max_distance(dist):

@@ -1,0 +1,92 @@
+"""Pallas TPU kernel for the EDT min-plus parabola pass.
+
+The 3-D Euclidean distance transform is three separable 1-D passes; the
+general passes compute, per independent line,
+
+    out[q] = min_v (f[v] + (q - v)^2).
+
+The reference does this with the sequential Felzenszwalb lower-envelope
+scan (sdf_map.cpp:266-308) — data-dependent backtracking, one line at a
+time.  On TPU the dense formulation wins: thousands of lines x a (q, v)
+parabola tile is pure VPU work.  This kernel tiles (lines x q) over the
+grid, holds a (TB, n) line block and a (TQ, n) slice of the parabola
+matrix in VMEM, and reduces over v in registers — one HBM read of f per
+q-tile instead of the chunked-broadcast materialization the jnp fallback
+(fields.sdf._minplus_parabola_lines) pays.
+
+Numerically identical to the fallback (same min-reduction); tested in
+interpreter mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _minplus_kernel(f_ref, sq_ref, o_ref):
+    # f_ref: (TB, n) lines; sq_ref: (TQ, n) parabola rows; o_ref: (TB, TQ)
+    f = f_ref[:]
+    sq = sq_ref[:]
+    # (TB, 1, n) + (1, TQ, n) -> min over v
+    o_ref[:] = jnp.min(f[:, None, :] + sq[None, :, :], axis=-1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def minplus_lines(f, interpret: bool = False):
+    """out[b, q] = min_v (f[b, v] + (q - v)^2) for each line b.
+
+    Args:
+      f: (B, n) float32 squared distances (cell units).
+    """
+    B, n = f.shape
+    TB = 8
+    # q-tile: keep the (TB, TQ, n) reduction tensor within a VMEM budget
+    TQ = 128 if n <= 1024 else 64
+    npad = _round_up(n, 128)
+    Bp = _round_up(B, TB)
+    qpad = _round_up(n, TQ)
+
+    q = jnp.arange(qpad, dtype=f.dtype)
+    v = jnp.arange(npad, dtype=f.dtype)
+    sq = (q[:, None] - v[None, :]) ** 2  # (qpad, npad)
+
+    big = jnp.asarray(3.0e18, f.dtype)
+    fp = jnp.pad(f, ((0, Bp - B), (0, npad - n)), constant_values=big)
+
+    out = pl.pallas_call(
+        _minplus_kernel,
+        grid=(Bp // TB, qpad // TQ),
+        in_specs=[
+            pl.BlockSpec(
+                (TB, npad), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TQ, npad), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, TQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, qpad), f.dtype),
+        interpret=interpret,
+    )(fp, sq)
+    return out[:B, :n]
+
+
+def minplus_axis(f, axis: int, interpret: bool = False):
+    """Min-plus parabola transform along ``axis`` of a 3-D grid."""
+    f = jnp.moveaxis(f, axis, -1)
+    shape = f.shape
+    out = minplus_lines(f.reshape(-1, shape[-1]), interpret=interpret)
+    return jnp.moveaxis(out.reshape(shape), -1, axis)

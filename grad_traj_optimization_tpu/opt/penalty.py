@@ -32,7 +32,7 @@ omission; the exponential penalty helpers live here for the search layer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 from jax import lax as _lax
@@ -45,6 +45,34 @@ def _einsum(subscripts, *operands):
 from grad_traj_optimization_tpu.config import OptimizerConfig
 from grad_traj_optimization_tpu.core import poly, qp
 from grad_traj_optimization_tpu.fields import sdf
+
+
+class Field(NamedTuple):
+    """Flat distance-field handle.
+
+    ``flat`` may concatenate many scenarios' grids; ``base`` selects this
+    scenario's slab.  Keeping ``flat`` unbatched under vmap turns the
+    batch's trilinear lookups into one large flat gather (see
+    fields.sdf.trilinear_flat).
+    """
+
+    flat: Any          # (total_voxels,)
+    base: Any          # () int32 offset into flat
+    origin: Any        # (3,)
+    resolution: Any    # ()
+
+
+def make_field(dist_grid, origin, resolution):
+    """Field handle + static grid shape from a single (nx,ny,nz) grid."""
+    return (
+        Field(
+            flat=dist_grid.reshape(-1),
+            base=jnp.zeros((), jnp.int32),
+            origin=jnp.asarray(origin),
+            resolution=jnp.asarray(resolution),
+        ),
+        dist_grid.shape,
+    )
 
 
 @dataclasses.dataclass
@@ -100,16 +128,19 @@ def _smooth(dp, ctx: PenaltyCtx):
     return cost, grad
 
 
-def _collision_terms(pos, vel, dist_grid, origin, resolution,
+def _collision_terms(pos, vel, field: Field, grid_shape,
                      cfg: OptimizerConfig):
-    d, g = sdf.distance_and_gradient(dist_grid, origin, resolution, pos)
+    d, g = sdf.trilinear_flat(
+        field.flat, field.base, grid_shape, field.origin,
+        field.resolution, pos,
+    )
     cd = cfg.alpha * jnp.exp(-(d - cfg.d0) / cfg.r)
     gd = -cd / cfg.r
     vn = jnp.linalg.norm(vel, axis=-1) + cfg.vel_eps
     return d, g, cd, gd, vn
 
 
-def cost_and_grad(dp, ctx: PenaltyCtx, dist_grid, origin, resolution,
+def cost_and_grad(dp, ctx: PenaltyCtx, field: Field, grid_shape,
                   cfg: OptimizerConfig, step: int):
     """Total cost and gradient w.r.t. dp (3, num_dp).
 
@@ -129,9 +160,7 @@ def cost_and_grad(dp, ctx: PenaltyCtx, dist_grid, origin, resolution,
         return cost, grad
 
     _, pos, vel = _sample_state(dp, ctx)
-    d, g, cd, gd, vn = _collision_terms(
-        pos, vel, dist_grid, origin, resolution, cfg
-    )
+    d, g, cd, gd, vn = _collision_terms(pos, vel, field, grid_shape, cfg)
 
     cost_c = _einsum("mk,m->", cd * vn, ctx.dt)
 
@@ -152,7 +181,7 @@ def cost_and_grad(dp, ctx: PenaltyCtx, dist_grid, origin, resolution,
     return cost, grad
 
 
-def cost_only(dp, ctx: PenaltyCtx, dist_grid, origin, resolution,
+def cost_only(dp, ctx: PenaltyCtx, field: Field, grid_shape,
               cfg: OptimizerConfig, step: int):
     """Cost without the gradient chain (used by the step-acceptance test)."""
     ws = 0.0 if step == 1 else cfg.w_smooth
@@ -161,9 +190,7 @@ def cost_only(dp, ctx: PenaltyCtx, dist_grid, origin, resolution,
     if abs(wc) < 1e-4:
         return ws * cost_s + cfg.cost_eps
     _, pos, vel = _sample_state(dp, ctx)
-    _, _, cd, _, vn = _collision_terms(
-        pos, vel, dist_grid, origin, resolution, cfg
-    )
+    _, _, cd, _, vn = _collision_terms(pos, vel, field, grid_shape, cfg)
     cost_c = _einsum("mk,m->", cd * vn, ctx.dt)
     return ws * cost_s + wc * cost_c + cfg.cost_eps
 

@@ -75,17 +75,18 @@ def _refine_kino(dist_grid, origin, resolution, pos, vel, acc, times,
     lb, ub = penalty.bounds(
         jnp.asarray(pos, jnp.float32), num_dp, cfg
     )
+    field, grid_shape = penalty.make_field(dist_grid, origin, resolution)
     import functools
 
     dp = dp0
     for step in steps:
         cag = functools.partial(
-            penalty.cost_and_grad, ctx=ctx, dist_grid=dist_grid,
-            origin=origin, resolution=resolution, cfg=cfg, step=step,
+            penalty.cost_and_grad, ctx=ctx, field=field,
+            grid_shape=grid_shape, cfg=cfg, step=step,
         )
         co = functools.partial(
-            penalty.cost_only, ctx=ctx, dist_grid=dist_grid,
-            origin=origin, resolution=resolution, cfg=cfg, step=step,
+            penalty.cost_only, ctx=ctx, field=field,
+            grid_shape=grid_shape, cfg=cfg, step=step,
         )
         iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
         res = descent.minimize(cag, co, dp, lb, ub, iters, cfg,

@@ -415,3 +415,84 @@ def search(
         pos=pos, vel=vel, acc=acc, times=times, reached=reached,
         cost=g[leaf],
     )
+
+
+# ---------------------------------------------------------------------------
+# Free-end-velocity one-shot (HybridAStarPathFinder variant)
+# ---------------------------------------------------------------------------
+
+
+def free_end_vel_shot(p0, p1, v0, max_vel: float = 3.0):
+    """Minimum-acceleration cubic to a position goal with free end velocity.
+
+    Exact port of HybridAStarPathFinder::getOptimalTime /
+    getShotTrajectory (hybrid_astar.cpp:902-967): the optimal duration
+    minimizes the acceleration integral 3 ||v0 T - dp||^2 / T^3 over the
+    positive roots of its derivative quadratic
+    3 v0.v0 T^2 - 12 dp.v0 T + 9 dp.dp, then is stretched per axis so the
+    implied end velocity stays within (2.5/3) max_vel.
+
+    Args:
+      p0, p1, v0: (..., 3).
+    Returns:
+      (coef (..., 3, 4) ascending powers, T (...,), v1 (..., 3)).
+    """
+    p0 = jnp.asarray(p0)
+    dp = jnp.asarray(p1) - p0
+    v0 = jnp.asarray(v0)
+
+    a = 3.0 * jnp.sum(v0 * v0, axis=-1)
+    b = -12.0 * jnp.sum(dp * v0, axis=-1)
+    c = 9.0 * jnp.sum(dp * dp, axis=-1)
+
+    # quadratic roots (a can be 0 when starting at rest -> linear root)
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(jnp.abs(a) > 1e-12, a, 1.0)
+    r1 = (-b + sq) / (2 * safe_a)
+    r2 = (-b - sq) / (2 * safe_a)
+    r_lin = jnp.where(jnp.abs(b) > 1e-12, -c / jnp.where(
+        jnp.abs(b) > 1e-12, b, 1.0), jnp.inf)
+    quad_ok = (jnp.abs(a) > 1e-12) & (disc >= 0)
+    roots = jnp.stack(
+        [
+            jnp.where(quad_ok, r1, jnp.inf),
+            jnp.where(quad_ok, r2, jnp.inf),
+            jnp.where(jnp.abs(a) > 1e-12, jnp.inf, r_lin),
+        ],
+        axis=-1,
+    )
+    roots = jnp.where(roots > 0, roots, jnp.inf)
+
+    def acc_cost_at(T):
+        r = v0 * T[..., None] - dp
+        return 3.0 * jnp.sum(r * r, axis=-1) / jnp.maximum(T, 1e-9) ** 3
+
+    costs = jnp.stack(
+        [
+            jnp.where(
+                jnp.isfinite(roots[..., i]),
+                acc_cost_at(roots[..., i]),
+                jnp.inf,
+            )
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    k = jnp.argmin(costs, axis=-1)
+    T = jnp.take_along_axis(roots, k[..., None], axis=-1)[..., 0]
+    # fallback duration when no positive root exists (degenerate dp = 0)
+    T = jnp.where(jnp.isfinite(T), T, 1.0)
+
+    # per-axis end-velocity feasibility stretch (hybrid_astar.cpp:942-948)
+    for i in range(3):
+        ve_i = v0[..., i] + 3 * (dp[..., i] - v0[..., i] * T) / (2 * T)
+        Tp = 3 * dp[..., i] / (2 * (max_vel + 0.5 * v0[..., i]))
+        T = jnp.where((ve_i > (2.5 / 3) * max_vel) & (Tp > T), Tp, T)
+
+    v1 = v0 + 3 * (dp - v0 * T[..., None]) / (2 * T[..., None])
+    Te = T[..., None]
+    ca = -(dp - v0 * Te) / (2 * Te**3)
+    cb = 3 * (dp - v0 * Te) / (2 * Te**2)
+    coef = jnp.stack([p0, v0, cb, ca], axis=-1)  # (..., 3, 4)
+    return coef, T, v1

@@ -84,13 +84,15 @@ def make_scenario(
     )
 
 
-def _solve_impl(
-    scenario: Scenario,
+def _solve_field(
+    field: penalty.Field,
+    grid_shape: tuple[int, int, int],
+    waypoints,
     cfg: OptimizerConfig,
     steps: tuple[int, ...],
     record_trace: bool,
 ) -> Solution:
-    wp = scenario.waypoints
+    wp = waypoints
     T = qp.allocate_times(wp, cfg.mean_v, cfg.init_time)
     Df, dp0 = qp.straight_line_d(wp)
     dep = qp.build_dep(T)
@@ -106,18 +108,16 @@ def _solve_impl(
         cag = functools.partial(
             penalty.cost_and_grad,
             ctx=ctx,
-            dist_grid=scenario.dist,
-            origin=scenario.origin,
-            resolution=scenario.resolution,
+            field=field,
+            grid_shape=grid_shape,
             cfg=cfg,
             step=step,
         )
         co = functools.partial(
             penalty.cost_only,
             ctx=ctx,
-            dist_grid=scenario.dist,
-            origin=scenario.origin,
-            resolution=scenario.resolution,
+            field=field,
+            grid_shape=grid_shape,
             cfg=cfg,
             step=step,
         )
@@ -164,7 +164,12 @@ def solve(
     only (ws = 0), step 2 the full cost.  The active demo (opti_node.cpp:
     104) runs only step 2; pass ``steps=(1, 2)`` for the full schedule.
     """
-    return _solve_impl(scenario, cfg, steps, record_trace)
+    field, grid_shape = penalty.make_field(
+        scenario.dist, scenario.origin, scenario.resolution
+    )
+    return _solve_field(
+        field, grid_shape, scenario.waypoints, cfg, steps, record_trace
+    )
 
 
 @functools.partial(
@@ -178,12 +183,35 @@ def solve_batch(
 ) -> Solution:
     """Solve a batch: every leaf of ``scenarios`` has a leading batch axis.
 
-    To share one map across the batch, broadcast the distance field
-    (``jnp.broadcast_to``) — XLA keeps a single copy.
+    To share one map across the whole batch, pass ``dist`` with leading
+    dimension 1 (other leaves batched normally) — the single grid is
+    closed over, not copied.
+
+    The distance grids are flattened into ONE buffer closed over by the
+    vmapped body; each lane indexes its slab by offset.  This keeps the
+    hot trilinear lookup a single flat gather instead of a per-scenario
+    batched gather (orders of magnitude slower on TPU).
     """
-    return jax.vmap(
-        lambda s: _solve_impl(s, cfg, steps, record_trace)
-    )(scenarios)
+    B = scenarios.waypoints.shape[0]
+    grid_shape = scenarios.dist.shape[1:]
+    nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
+    flat_all = scenarios.dist.reshape(-1)
+    if scenarios.dist.shape[0] == 1:
+        bases = jnp.zeros((B,), jnp.int32)  # shared map
+    else:
+        bases = jnp.arange(B, dtype=jnp.int32) * nvox
+
+    def one(base, origin, resolution, waypoints):
+        field = penalty.Field(
+            flat=flat_all, base=base, origin=origin, resolution=resolution
+        )
+        return _solve_field(
+            field, grid_shape, waypoints, cfg, steps, record_trace
+        )
+
+    return jax.vmap(one)(
+        bases, scenarios.origin, scenarios.resolution, scenarios.waypoints
+    )
 
 
 def evaluate_solution(sol: Solution, n: int = 400):

@@ -1,0 +1,86 @@
+"""Visualization & export — host-side replacement for the rviz pipeline.
+
+The reference visualizes through ROS markers (include/.../display.h:
+visualizeSetPoints/displayTrajectory; sdf_map.cpp:122-153 occupancy
+markers, :370-421 layered ESDF with distance-level transparency).  Here
+the observables are files: compressed npz scene dumps and optional
+matplotlib figures — consumable without a ROS stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from grad_traj_optimization_tpu.core import poly
+
+
+def scene_arrays(sol, scenario=None, n_samples: int = 400):
+    """Collect plottable arrays from a Solution (+ optional Scenario)."""
+    pos, ts = poly.sample_uniform(sol.coeff, sol.T, n_samples)
+    vel, _ = poly.sample_uniform(sol.coeff, sol.T, n_samples, deriv=1)
+    out = {
+        "traj": np.asarray(pos),
+        "vel": np.asarray(vel),
+        "t": np.asarray(ts),
+        "segment_times": np.asarray(sol.T),
+        "coeff": np.asarray(sol.coeff),
+        "cost_trace": np.asarray(sol.cost_trace),
+    }
+    if scenario is not None:
+        out["waypoints"] = np.asarray(scenario.waypoints)
+        out["origin"] = np.asarray(scenario.origin)
+        out["resolution"] = np.asarray(scenario.resolution)
+        dist = np.asarray(scenario.dist)
+        out["occupied"] = np.stack(np.nonzero(dist == 0.0), axis=-1)
+        out["dist_slice_mid_z"] = dist[:, :, dist.shape[2] // 2]
+    return out
+
+
+def export_npz(path: str, sol, scenario=None, n_samples: int = 400):
+    """Dump a solved scene to a compressed npz (the 'rviz topic')."""
+    np.savez_compressed(path, **scene_arrays(sol, scenario, n_samples))
+    return path
+
+
+def plot_topdown(sol, scenario, ax=None, n_samples: int = 400):
+    """Top-down (x, y) plot: occupancy, waypoints, optimized trajectory.
+
+    Equivalent of the reference's displayPathWithColor triplet
+    (opti_node.cpp:128-134).  Requires matplotlib.
+    """
+    import matplotlib.pyplot as plt
+
+    arrays = scene_arrays(sol, scenario, n_samples)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    res = float(arrays["resolution"])
+    origin = arrays["origin"]
+    occ = arrays["occupied"]
+    if len(occ):
+        ax.scatter(
+            origin[0] + (occ[:, 0] + 0.5) * res,
+            origin[1] + (occ[:, 1] + 0.5) * res,
+            s=2, c="0.6", marker="s", label="obstacles",
+        )
+    wp = arrays["waypoints"]
+    ax.plot(wp[:, 0], wp[:, 1], "ro--", ms=4, lw=0.8, label="waypoints")
+    tr = arrays["traj"]
+    ax.plot(tr[:, 0], tr[:, 1], "b-", lw=1.5, label="optimized")
+    ax.set_aspect("equal")
+    ax.legend(loc="best", fontsize=8)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    return ax
+
+
+def plot_cost_curve(sol, ax=None):
+    """Monotone best-cost envelope (reference getCostCurve)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 3))
+    trace = np.asarray(sol.cost_trace)
+    ax.semilogy(trace)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("best cost")
+    return ax

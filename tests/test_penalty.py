@@ -45,19 +45,20 @@ def _jax_ctx(gopt, wp, cfg):
     ctx = penalty.build_ctx(T, Df, cfg)
     grid = jnp.asarray(gopt.map.dist, jnp.float32)
     origin = jnp.asarray(gopt.map.origin, jnp.float32)
-    return ctx, grid, origin, gopt.map.resolution
+    field, shape = penalty.make_field(grid, origin, gopt.map.resolution)
+    return ctx, field, shape
 
 
 def test_cost_and_grad_matches_golden():
     gm, gopt, wp, cfg = _small_problem()
-    ctx, grid, origin, res = _jax_ctx(gopt, wp, cfg)
+    ctx, field, shape = _jax_ctx(gopt, wp, cfg)
 
     rng = np.random.default_rng(1)
     for trial in range(3):
         dp = gopt.Dp0 + 0.3 * rng.standard_normal(gopt.Dp0.shape)
         c_g, g_g = gopt.cost_and_grad(dp, step=2)
         c_j, g_j = penalty.cost_and_grad(
-            jnp.asarray(dp, jnp.float32), ctx, grid, origin, res, cfg, step=2
+            jnp.asarray(dp, jnp.float32), ctx, field, shape, cfg, step=2
         )
         # cost is a continuous functional -> tight
         assert abs(float(c_j) - c_g) / max(abs(c_g), 1.0) < 2e-3
@@ -77,10 +78,10 @@ def test_cost_and_grad_matches_golden():
 
 def test_cost_only_consistent_with_cost_and_grad():
     gm, gopt, wp, cfg = _small_problem()
-    ctx, grid, origin, res = _jax_ctx(gopt, wp, cfg)
+    ctx, field, shape = _jax_ctx(gopt, wp, cfg)
     dp = jnp.asarray(gopt.Dp0, jnp.float32)
-    c1, _ = penalty.cost_and_grad(dp, ctx, grid, origin, res, cfg, step=2)
-    c2 = penalty.cost_only(dp, ctx, grid, origin, res, cfg, step=2)
+    c1, _ = penalty.cost_and_grad(dp, ctx, field, shape, cfg, step=2)
+    c2 = penalty.cost_only(dp, ctx, field, shape, cfg, step=2)
     np.testing.assert_allclose(float(c1), float(c2), rtol=1e-6)
 
 
@@ -94,12 +95,12 @@ def test_exact_gradient_matches_autodiff():
 
     gm, gopt, wp, _ = _small_problem()
     cfg = OptimizerConfig(gradient_mode="exact")
-    ctx, grid, origin, res = _jax_ctx(gopt, wp, cfg)
+    ctx, field, shape = _jax_ctx(gopt, wp, cfg)
 
     dp0 = jnp.asarray(gopt.Dp0 + 0.1, jnp.float32)
-    _, g = penalty.cost_and_grad(dp0, ctx, grid, origin, res, cfg, step=2)
+    _, g = penalty.cost_and_grad(dp0, ctx, field, shape, cfg, step=2)
     g_auto = jax.grad(
-        lambda dp: penalty.cost_only(dp, ctx, grid, origin, res, cfg, step=2)
+        lambda dp: penalty.cost_only(dp, ctx, field, shape, cfg, step=2)
     )(dp0)
     g, g_auto = np.asarray(g), np.asarray(g_auto)
     np.testing.assert_allclose(

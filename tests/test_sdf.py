@@ -87,3 +87,34 @@ def test_distance_at_out_of_map():
         jnp.asarray([[5.0, 0.2, 0.2], [0.2, 0.2, 0.2]], jnp.float32),
     )
     np.testing.assert_allclose(np.asarray(d), [-1.0, 1.0])
+
+
+def test_edt_batch_matches_single():
+    rng = np.random.default_rng(10)
+    occ = (rng.random((4, 11, 9, 6)) < 0.07).astype(np.float32)
+    db = np.asarray(sdf.edt_batch(jnp.asarray(occ), 0.25))
+    for i in range(4):
+        d1 = np.asarray(sdf.edt(jnp.asarray(occ[i]), 0.25))
+        np.testing.assert_allclose(db[i], d1, atol=1e-5)
+
+
+def test_trilinear_flat_offset():
+    """trilinear_flat with a base offset must match the per-grid lookup."""
+    rng = np.random.default_rng(11)
+    grids = rng.random((3, 8, 7, 5)).astype(np.float32) * 4.0
+    flat = jnp.asarray(grids.reshape(-1))
+    origin = jnp.zeros(3, jnp.float32)
+    res = 0.5
+    q = jnp.asarray(rng.uniform(0.3, 2.0, size=(40, 3)), jnp.float32)
+    nvox = 8 * 7 * 5
+    for b in range(3):
+        d_flat, g_flat = sdf.trilinear_flat(
+            flat, b * nvox, (8, 7, 5), origin, res, q
+        )
+        d_ref, g_ref = sdf.distance_and_gradient(
+            jnp.asarray(grids[b]), origin, res, q
+        )
+        np.testing.assert_allclose(np.asarray(d_flat), np.asarray(d_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_ref),
+                                   atol=1e-5)

@@ -211,3 +211,25 @@ def test_kino_search_avoids_wall():
                         jnp.asarray(result.pos))
     )
     assert (d > 0.15).all()
+
+
+def test_free_end_vel_shot_properties():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        p0 = rng.uniform(-2, 2, 3).astype(np.float32)
+        p1 = rng.uniform(-2, 2, 3).astype(np.float32)
+        v0 = rng.uniform(-1, 1, 3).astype(np.float32)
+        coef, T, v1 = kinodynamic.free_end_vel_shot(
+            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(v0)
+        )
+        T = float(T)
+        coef, v1 = np.asarray(coef), np.asarray(v1)
+        assert T > 0
+        tp = np.array([T**j for j in range(4)])
+        tv = np.array([0, 1, 2 * T, 3 * T**2])
+        np.testing.assert_allclose(coef @ tp, p1, atol=3e-3)
+        np.testing.assert_allclose(coef @ tv, v1, atol=3e-3)
+        np.testing.assert_allclose(coef[:, 0], p0, atol=1e-6)
+        np.testing.assert_allclose(coef[:, 1], v0, atol=1e-6)
+        # end velocity within the stretch bound
+        assert np.all(v1 <= (2.5 / 3) * 3.0 + 1e-3)

@@ -259,13 +259,28 @@ def distance_at(dist, origin, resolution, pos):
     return jnp.where(ok, d, -1.0)
 
 
-def trilinear_flat(flat, base, grid_shape, origin, resolution, pos):
+#: z-column length up to which the row-gather lookup mode is used
+_ROW_MODE_MAX_NZ = 64
+
+
+def trilinear_flat(flat, base, grid_shape, origin, resolution, pos,
+                   mode: str = "auto"):
     """Trilinear distance + gradient against a FLAT field buffer.
 
     ``flat`` may hold many scenarios' grids back to back; ``base`` is this
     scenario's offset.  Keeping the buffer unbatched under vmap makes the
     whole batch's corner lookups one large flat gather — XLA lowers
     per-scenario batched gathers orders of magnitude slower.
+
+    Two lookup modes (identical results):
+
+    * ``elem``: gather the 8 corner scalars directly.  TPU XLA lowers
+      scalar gathers element-by-element (~35 ns/element measured) — fine
+      on CPU, catastrophic on TPU.
+    * ``row``: gather the 4 (x, y)-neighbor **z-columns** — rows of the
+      natural x-major layout, the gather form TPU handles at bandwidth —
+      then select z and z+1 with a masked lane reduction.  Used
+      automatically when nz <= 64 (the gathered volume grows with nz).
 
     Reference semantics: getDistWithGradTrilinear (sdf_map.cpp:185-242);
     out-of-map -> (-1, 0) (grad is C++-UB there, defined as zero).
@@ -286,17 +301,54 @@ def trilinear_flat(flat, base, grid_shape, origin, resolution, pos):
     idx_pos = (idx.astype(pos.dtype) + 0.5) * res + origin
     diff = (pos - idx_pos) / res  # in [0, 1)
 
-    # one fused gather of all 8 corners (cheaper than 8 separate gathers)
     nx, ny, nz = grid_shape
-    offs = jnp.asarray(
-        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)],
-        dtype=idx.dtype,
-    )  # (8, 3)
-    corner = idx[..., None, :] + offs  # (..., 8, 3)
-    cx = jnp.clip(corner[..., 0], 0, nx - 1)
-    cy = jnp.clip(corner[..., 1], 0, ny - 1)
-    cz = jnp.clip(corner[..., 2], 0, nz - 1)
-    v8 = jnp.take(flat, base + (cx * ny + cy) * nz + cz)  # (..., 8)
+    if mode == "auto":
+        mode = "row" if nz <= _ROW_MODE_MAX_NZ else "elem"
+
+    if mode == "row":
+        rows = flat.reshape(-1, nz)
+        row_base = base // nz
+        cx0 = jnp.clip(idx[..., 0], 0, nx - 1)
+        cx1 = jnp.clip(idx[..., 0] + 1, 0, nx - 1)
+        cy0 = jnp.clip(idx[..., 1], 0, ny - 1)
+        cy1 = jnp.clip(idx[..., 1] + 1, 0, ny - 1)
+        # 4 xy-corner rows, order (a, b) = (00, 01, 10, 11)
+        ridx = jnp.stack(
+            [
+                row_base + cx0 * ny + cy0,
+                row_base + cx0 * ny + cy1,
+                row_base + cx1 * ny + cy0,
+                row_base + cx1 * ny + cy1,
+            ],
+            axis=-1,
+        )  # (..., 4)
+        cols = jnp.take(rows, ridx, axis=0)  # (..., 4, nz)
+        k = jnp.arange(nz, dtype=idx.dtype)
+        iz0 = jnp.clip(idx[..., 2], 0, nz - 1)[..., None, None]
+        iz1 = jnp.clip(idx[..., 2] + 1, 0, nz - 1)[..., None, None]
+        m0 = (k == iz0).astype(pos.dtype)
+        m1 = (k == iz1).astype(pos.dtype)
+        vz0 = jnp.sum(cols * m0, axis=-1)  # (..., 4)
+        vz1 = jnp.sum(cols * m1, axis=-1)  # (..., 4)
+        # assemble in (a, b, c) bit order abc -> slot 4a + 2b + c
+        v8 = jnp.stack(
+            [
+                vz0[..., 0], vz1[..., 0], vz0[..., 1], vz1[..., 1],
+                vz0[..., 2], vz1[..., 2], vz0[..., 3], vz1[..., 3],
+            ],
+            axis=-1,
+        )
+    else:
+        # one fused gather of all 8 corner scalars
+        offs = jnp.asarray(
+            [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)],
+            dtype=idx.dtype,
+        )  # (8, 3)
+        corner = idx[..., None, :] + offs  # (..., 8, 3)
+        cx = jnp.clip(corner[..., 0], 0, nx - 1)
+        cy = jnp.clip(corner[..., 1], 0, ny - 1)
+        cz = jnp.clip(corner[..., 2], 0, nz - 1)
+        v8 = jnp.take(flat, base + (cx * ny + cy) * nz + cz)  # (..., 8)
     v = [
         [[v8[..., 4 * a + 2 * b + c] for c in (0, 1)] for b in (0, 1)]
         for a in (0, 1)
@@ -334,6 +386,81 @@ def distance_and_gradient(dist, origin, resolution, pos):
     """
     return trilinear_flat(
         dist.reshape(-1), 0, dist.shape, origin, resolution, pos
+    )
+
+
+def trilinear_mxu(grid, origin, resolution, pos):
+    """Trilinear distance + gradient as dense MXU contractions (no gather).
+
+    TPU XLA lowers gathers element-by-element (~35 ns each), which makes
+    the 8-corner lookup the entire cost of the penalty optimizer.  But the
+    interpolated distance AND its gradient are *linear functionals* of the
+    grid with separable per-axis weights:
+
+        d(s)  = wx_n(s) . G . wy_n(s) (x) wz_n(s)
+        gx(s) = wx_d(s) . G . wy_n(s) (x) wz_n(s)   (etc.)
+
+    where wx_n is 2-hot ((1-dx) at ix, dx at ix+1, summed when clamping
+    collides) and wx_d its derivative (+-1/res).  Contracting axis by axis
+    turns the whole lookup into three dense einsums that ride the MXU —
+    ~50x more FLOPs than the sparse lookup, orders of magnitude faster
+    than the gather on TPU.  Exactly equal to the gather-based modes
+    (same clamped-corner semantics, sdf_map.cpp:185-242).
+
+    Args:
+      grid: (nx, ny, nz) distance field (ONE scenario; vmap for batches).
+      pos: (S, 3) query positions.
+    Returns:
+      d: (S,), g: (S, 3).
+    """
+    pos = jnp.asarray(pos)
+    lead_shape = pos.shape[:-1]
+    pos2 = pos.reshape(-1, 3)
+    origin = jnp.asarray(origin, dtype=pos.dtype)
+    res = jnp.asarray(resolution, dtype=pos.dtype)
+    nx, ny, nz = grid.shape
+    ok = in_map(pos2, origin, res, grid.shape)
+
+    pos_m = pos2 - 0.5 * res
+    idx = pos_to_index(pos_m, origin, res)
+    idx_pos = (idx.astype(pos.dtype) + 0.5) * res + origin
+    diff = (pos2 - idx_pos) / res
+
+    def weights(i, frac, n):
+        """2-hot interpolation + derivative weights over axis length n."""
+        ar = jnp.arange(n, dtype=idx.dtype)
+        i0 = jnp.clip(i, 0, n - 1)[:, None]
+        i1 = jnp.clip(i + 1, 0, n - 1)[:, None]
+        h0 = (ar == i0).astype(pos.dtype)
+        h1 = (ar == i1).astype(pos.dtype)
+        w_n = h0 * (1.0 - frac[:, None]) + h1 * frac[:, None]
+        w_d = (h1 - h0) / res
+        return w_n, w_d
+
+    wx_n, wx_d = weights(idx[:, 0], diff[:, 0], nx)
+    wy_n, wy_d = weights(idx[:, 1], diff[:, 1], ny)
+    wz_n, wz_d = weights(idx[:, 2], diff[:, 2], nz)
+
+    # axis-by-axis contraction (f32 accumulation on the MXU)
+    t1n = _einsum_hi("sx,xyz->syz", wx_n, grid)
+    t1d = _einsum_hi("sx,xyz->syz", wx_d, grid)
+    t2nn = _einsum_hi("sy,syz->sz", wy_n, t1n)
+    t2nd = _einsum_hi("sy,syz->sz", wy_d, t1n)
+    t2dn = _einsum_hi("sy,syz->sz", wy_n, t1d)
+    d = _einsum_hi("sz,sz->s", wz_n, t2nn)
+    gz = _einsum_hi("sz,sz->s", wz_d, t2nn)
+    gy = _einsum_hi("sz,sz->s", wz_n, t2nd)
+    gx = _einsum_hi("sz,sz->s", wz_n, t2dn)
+
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    d = jnp.where(ok, d, -1.0)
+    g = jnp.where(ok[:, None], g, 0.0)
+    return d.reshape(lead_shape), g.reshape(lead_shape + (3,))
+
+
+def _einsum_hi(subscripts, *operands):
+    return jnp.einsum(
+        subscripts, *operands, precision=jax.lax.Precision.HIGHEST
     )
 
 

@@ -125,6 +125,7 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
             cfg.lr0, cfg.lr_grow, cfg.lr_shrink, cfg.lr_min, cfg.lr_max,
             cfg.n_samples, cfg.iters_step1, cfg.iters_step2, steps_mask,
             cfg.cost_eps, cfg.grad_eps, cfg.vel_eps, cfg.t_offset,
+            1.0 if getattr(cfg, "step_rule", "adaptive") == "bb" else 0.0,
         ],
         dtype=np.float64,
     )

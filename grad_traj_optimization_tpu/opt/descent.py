@@ -55,6 +55,7 @@ def minimize(
     """
     dp0 = jnp.clip(jnp.asarray(dp0), lb, ub)
     lr0 = jnp.asarray(cfg.lr0, dtype=dp0.dtype)
+    use_bb = cfg.step_rule == "bb"
 
     # One fused cost+grad evaluation per iteration: the gradient comes out
     # of the same eval that scores the candidate, and is cached across
@@ -62,24 +63,52 @@ def minimize(
     # the textbook two-eval scheme (grad at current, cost at candidate)
     # at roughly half the work — the gradient at an unchanged dp is
     # unchanged, so caching it is exact.
+    #
+    # Step size: "adaptive" multiplies a normalized step up/down;
+    # "bb" uses the Barzilai-Borwein spectral step
+    # |<s, y>| / <y, y> from the last *accepted* (s = delta dp,
+    # y = delta grad) pair, scaled down multiplicatively while rejected.
     def body(state, _):
-        dp, grad, lr, cost, n_acc = state
-        gnorm = jnp.linalg.norm(grad) + 1e-12  # unit-free step size
-        cand = jnp.clip(dp - (lr / gnorm) * grad, lb, ub)
+        dp, grad, lr, scale, cost, n_acc = state
+        if use_bb:
+            step = lr * scale
+        else:
+            step = lr / (jnp.linalg.norm(grad) + 1e-12)
+        cand = jnp.clip(dp - step * grad, lb, ub)
         c2, g2 = cost_and_grad(cand)
         accept = c2 < cost
+
+        if use_bb:
+            s = cand - dp
+            y = g2 - grad
+            sy = jnp.sum(s * y)
+            yy = jnp.sum(y * y)
+            lr_bb = jnp.abs(sy) / jnp.maximum(yy, 1e-20)
+            lr_bb = jnp.clip(lr_bb, cfg.lr_min, cfg.lr_max)
+            lr = jnp.where(accept, lr_bb, lr)
+            scale = jnp.where(accept, 1.0, scale * cfg.lr_shrink)
+            scale = jnp.maximum(scale, 1e-8)
+        else:
+            lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
+            lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
+
         dp = jnp.where(accept, cand, dp)
         grad = jnp.where(accept, g2, grad)
         cost = jnp.where(accept, c2, cost)
-        lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
-        lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
         n_acc = n_acc + accept.astype(jnp.int32)
         out = cost if record_trace else None
-        return (dp, grad, lr, cost, n_acc), out
+        return (dp, grad, lr, scale, cost, n_acc), out
 
     c0, g0 = cost_and_grad(dp0)
-    init = (dp0, g0, lr0, c0, jnp.zeros((), jnp.int32))
-    (dp, _, _, cost, n_acc), trace = jax.lax.scan(
+    if use_bb:
+        lr_init = lr0 / (jnp.linalg.norm(g0) + 1e-12)
+    else:
+        lr_init = lr0
+    init = (
+        dp0, g0, lr_init, jnp.ones((), dp0.dtype), c0,
+        jnp.zeros((), jnp.int32),
+    )
+    (dp, _, _, _, cost, n_acc), trace = jax.lax.scan(
         body, init, None, length=iters
     )
     if not record_trace:

@@ -60,6 +60,7 @@ class Field(NamedTuple):
     base: Any          # () int32 offset into flat
     origin: Any        # (3,)
     resolution: Any    # ()
+    grid: Any = None   # (nx, ny, nz) view for the MXU lookup mode
 
 
 def make_field(dist_grid, origin, resolution):
@@ -70,6 +71,7 @@ def make_field(dist_grid, origin, resolution):
             base=jnp.zeros((), jnp.int32),
             origin=jnp.asarray(origin),
             resolution=jnp.asarray(resolution),
+            grid=dist_grid,
         ),
         dist_grid.shape,
     )
@@ -130,10 +132,24 @@ def _smooth(dp, ctx: PenaltyCtx):
 
 def _collision_terms(pos, vel, field: Field, grid_shape,
                      cfg: OptimizerConfig):
-    d, g = sdf.trilinear_flat(
-        field.flat, field.base, grid_shape, field.origin,
-        field.resolution, pos,
-    )
+    import jax
+
+    mode = cfg.lookup_mode
+    if mode == "auto":
+        mode = (
+            "mxu"
+            if jax.default_backend() == "tpu" and field.grid is not None
+            else "elem"
+        )
+    if mode == "mxu" and field.grid is not None:
+        d, g = sdf.trilinear_mxu(
+            field.grid, field.origin, field.resolution, pos
+        )
+    else:
+        d, g = sdf.trilinear_flat(
+            field.flat, field.base, grid_shape, field.origin,
+            field.resolution, pos, mode=mode if mode != "mxu" else "auto",
+        )
     cd = cfg.alpha * jnp.exp(-(d - cfg.d0) / cfg.r)
     gd = -cd / cfg.r
     vn = jnp.linalg.norm(vel, axis=-1) + cfg.vel_eps

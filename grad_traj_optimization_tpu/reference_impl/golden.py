@@ -357,21 +357,43 @@ class GoldenOptimizer:
         dp = self.Dp0.copy()
         lb, ub = self.bounds()
         dp = np.clip(dp, lb, ub)
+        use_bb = getattr(cfg, "step_rule", "adaptive") == "bb"
         for step in steps:
             iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
-            lr = cfg.lr0
             # fused scheme (must mirror opt/descent.py): one cost+grad per
-            # iteration, gradient cached across rejections
+            # iteration, gradient cached across rejections; step rule is
+            # either multiplicative-adaptive or Barzilai-Borwein
             cost, g = self.cost_and_grad(dp, step)
+            lr = (
+                cfg.lr0 / (np.linalg.norm(g) + 1e-12)
+                if use_bb else cfg.lr0
+            )
+            scale = 1.0
             for _ in range(iters):
-                gnorm = np.linalg.norm(g) + 1e-12
-                cand = np.clip(dp - (lr / gnorm) * g, lb, ub)
-                c2, g2 = self.cost_and_grad(cand, step)
-                if c2 < cost:
-                    dp, cost, g = cand, c2, g2
-                    lr = min(lr * cfg.lr_grow, cfg.lr_max)
+                if use_bb:
+                    stepsz = lr * scale
                 else:
-                    lr = max(lr * cfg.lr_shrink, cfg.lr_min)
+                    stepsz = lr / (np.linalg.norm(g) + 1e-12)
+                cand = np.clip(dp - stepsz * g, lb, ub)
+                c2, g2 = self.cost_and_grad(cand, step)
+                accept = c2 < cost
+                if use_bb:
+                    if accept:
+                        s = cand - dp
+                        y = g2 - g
+                        sy = abs(np.sum(s * y))
+                        yy = max(np.sum(y * y), 1e-20)
+                        lr = np.clip(sy / yy, cfg.lr_min, cfg.lr_max)
+                        scale = 1.0
+                    else:
+                        scale = max(scale * cfg.lr_shrink, 1e-8)
+                else:
+                    if accept:
+                        lr = min(lr * cfg.lr_grow, cfg.lr_max)
+                    else:
+                        lr = max(lr * cfg.lr_shrink, cfg.lr_min)
+                if accept:
+                    dp, cost, g = cand, c2, g2
         return dp, self.coeff_from_d(dp)
 
     def cost_only(self, dp, step=2):

@@ -196,21 +196,29 @@ def solve_batch(
     grid_shape = scenarios.dist.shape[1:]
     nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
     flat_all = scenarios.dist.reshape(-1)
-    if scenarios.dist.shape[0] == 1:
+    shared = scenarios.dist.shape[0] == 1
+    if shared:
         bases = jnp.zeros((B,), jnp.int32)  # shared map
     else:
         bases = jnp.arange(B, dtype=jnp.int32) * nvox
+    shared_grid = scenarios.dist[0] if shared else None
 
-    def one(base, origin, resolution, waypoints):
+    def one(base, grid, origin, resolution, waypoints):
         field = penalty.Field(
-            flat=flat_all, base=base, origin=origin, resolution=resolution
+            flat=flat_all, base=base, origin=origin,
+            resolution=resolution,
+            grid=shared_grid if shared else grid,
         )
         return _solve_field(
             field, grid_shape, waypoints, cfg, steps, record_trace
         )
 
+    grids = (
+        jnp.zeros((B, 0)) if shared else scenarios.dist
+    )  # dummy when shared (closed over instead)
     return jax.vmap(one)(
-        bases, scenarios.origin, scenarios.resolution, scenarios.waypoints
+        bases, grids, scenarios.origin, scenarios.resolution,
+        scenarios.waypoints,
     )
 
 

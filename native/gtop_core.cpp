@@ -312,6 +312,7 @@ struct SolveCfg {
   double lr0, lr_grow, lr_shrink, lr_min, lr_max;
   int n_samples, iters1, iters2, steps_mask;  // steps_mask: 1|2 bits
   double cost_eps, grad_eps, vel_eps, t_offset;
+  int step_rule_bb;  // 1 = Barzilai-Borwein, 0 = multiplicative adaptive
 };
 
 struct MapRef {
@@ -452,7 +453,7 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
   cfg.lr_max = c[14]; cfg.n_samples = int(c[15]); cfg.iters1 = int(c[16]);
   cfg.iters2 = int(c[17]); cfg.steps_mask = int(c[18]);
   cfg.cost_eps = c[19]; cfg.grad_eps = c[20]; cfg.vel_eps = c[21];
-  cfg.t_offset = c[22];
+  cfg.t_offset = c[22]; cfg.step_rule_bb = int(c[23]);
 
   MapRef mp{dist, nx, ny, nz, {origin[0], origin[1], origin[2]},
             resolution};
@@ -513,27 +514,59 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
                                  nullptr);
       continue;
     }
-    double lr = cfg.lr0;
     // fused scheme (mirrors opt/descent.py): one cost+grad evaluation per
-    // iteration, gradient cached across rejected steps
+    // iteration, gradient cached across rejected steps; step size follows
+    // the configured rule (Barzilai-Borwein spectral or multiplicative).
     std::vector<double> g(3 * ndp), g2(3 * ndp), cand(3 * ndp);
     double cost =
         cost_and_grad(deps, mp, cfg, Df, dpv.data(), step, g.data());
+    bool use_bb = cfg.step_rule_bb != 0;
+    double gn0 = 0;
+    for (double x : g) gn0 += x * x;
+    gn0 = std::sqrt(gn0) + 1e-12;
+    double lr = use_bb ? cfg.lr0 / gn0 : cfg.lr0;
+    double scale = 1.0;
     for (int it = 0; it < iters; ++it) {
-      double gn = 0;
-      for (double x : g) gn += x * x;
-      gn = std::sqrt(gn) + 1e-12;
+      double stepsz;
+      if (use_bb) {
+        stepsz = lr * scale;
+      } else {
+        double gn = 0;
+        for (double x : g) gn += x * x;
+        gn = std::sqrt(gn) + 1e-12;
+        stepsz = lr / gn;
+      }
       for (int i = 0; i < 3 * ndp; ++i)
-        cand[i] = std::clamp(dpv[i] - (lr / gn) * g[i], lb[i], ub[i]);
+        cand[i] = std::clamp(dpv[i] - stepsz * g[i], lb[i], ub[i]);
       double c2 =
           cost_and_grad(deps, mp, cfg, Df, cand.data(), step, g2.data());
-      if (c2 < cost) {
+      bool accept = c2 < cost;
+      if (use_bb) {
+        if (accept) {
+          double sy = 0, yy = 0;
+          for (int i = 0; i < 3 * ndp; ++i) {
+            double s = cand[i] - dpv[i];
+            double y = g2[i] - g[i];
+            sy += s * y;
+            yy += y * y;
+          }
+          lr = std::clamp(std::fabs(sy) / std::max(yy, 1e-20), cfg.lr_min,
+                          cfg.lr_max);
+          scale = 1.0;
+        } else {
+          scale = std::max(scale * cfg.lr_shrink, 1e-8);
+        }
+      } else {
+        if (accept) {
+          lr = std::min(lr * cfg.lr_grow, cfg.lr_max);
+        } else {
+          lr = std::max(lr * cfg.lr_shrink, cfg.lr_min);
+        }
+      }
+      if (accept) {
         dpv.swap(cand);
         g.swap(g2);
         cost = c2;
-        lr = std::min(lr * cfg.lr_grow, cfg.lr_max);
-      } else {
-        lr = std::max(lr * cfg.lr_shrink, cfg.lr_min);
       }
     }
     final_cost = cost;

@@ -118,3 +118,36 @@ def test_trilinear_flat_offset():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_ref),
                                    atol=1e-5)
+
+
+def test_trilinear_row_mode_matches_elem():
+    rng = np.random.default_rng(12)
+    grids = rng.random((2, 9, 8, 6)).astype(np.float32) * 4.0
+    flat = jnp.asarray(grids.reshape(-1))
+    origin = jnp.zeros(3, jnp.float32)
+    res = 0.5
+    q = jnp.asarray(rng.uniform(-0.5, 4.5, size=(200, 3)), jnp.float32)
+    nvox = 9 * 8 * 6
+    for b in range(2):
+        d_r, g_r = sdf.trilinear_flat(
+            flat, b * nvox, (9, 8, 6), origin, res, q, mode="row"
+        )
+        d_e, g_e = sdf.trilinear_flat(
+            flat, b * nvox, (9, 8, 6), origin, res, q, mode="elem"
+        )
+        np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_e),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_e),
+                                   atol=1e-5)
+
+
+def test_trilinear_mxu_matches_elem():
+    rng = np.random.default_rng(13)
+    grid = (rng.random((9, 8, 6)).astype(np.float32) * 4.0)
+    origin = jnp.zeros(3, jnp.float32)
+    res = 0.5
+    q = jnp.asarray(rng.uniform(-0.5, 4.5, size=(150, 3)), jnp.float32)
+    d_m, g_m = sdf.trilinear_mxu(jnp.asarray(grid), origin, res, q)
+    d_e, g_e = sdf.distance_and_gradient(jnp.asarray(grid), origin, res, q)
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_e), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_e), atol=2e-4)

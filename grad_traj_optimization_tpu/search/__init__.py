@@ -3,4 +3,5 @@ from grad_traj_optimization_tpu.search import (  # noqa: F401
     kinodynamic,
     predictor,
     rdp,
+    rrt,
 )

@@ -10,10 +10,15 @@ times the exact EDT:
 Usage: python scripts/stress_edt.py [n] [occupancy_fraction]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main():

@@ -29,6 +29,7 @@ import dataclasses
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax as _lax
 
@@ -115,6 +116,7 @@ def minsnap_dmap(m: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QPDep:
     """Everything the penalty optimizer needs, per scenario.

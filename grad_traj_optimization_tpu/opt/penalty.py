@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax as _lax
 
@@ -77,6 +78,7 @@ def make_field(dist_grid, origin, resolution):
     )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PenaltyCtx:
     """Per-scenario precomputation shared by every optimizer iteration."""
@@ -228,3 +230,108 @@ def bounds(waypoints, num_dp: int, cfg: OptimizerConfig, dtype=jnp.float32):
         jnp.asarray([cfg.bos, cfg.vos, cfg.aos], dtype=dtype), (n_int,)
     )
     return center - half[None, :], center + half[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Batch-first evaluation (for the fused Pallas lookup)
+# ---------------------------------------------------------------------------
+
+
+def build_ctx_batch(T_b, Df_b, cfg: OptimizerConfig) -> PenaltyCtx:
+    """PenaltyCtx with a leading batch axis on every leaf."""
+    return jax.vmap(lambda T, Df: build_ctx(T, Df, cfg))(T_b, Df_b)
+
+
+def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
+                    interpret: bool = False):
+    """(B, S, 3) positions -> (d (B, S), g (B, S, 3))."""
+    from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+    mode = cfg.lookup_mode
+    B, S = pos_flat.shape[:2]
+    if mode == "fused" and tp.supports(grids.shape[1:], S):
+        if True:
+            return tp.trilinear_fused_batch(
+                grids, origin, resolution, pos_flat,
+                interpret=interpret or jax.default_backend() != "tpu",
+            )
+    if jax.default_backend() == "tpu" and mode in ("auto", "mxu"):
+        return jax.vmap(
+            lambda g, o, r, p: sdf.trilinear_mxu(g, o, r, p)
+        )(grids, origin, resolution, pos_flat)
+    flat = grids.reshape(-1)
+    nvox = grids.shape[1] * grids.shape[2] * grids.shape[3]
+    bases = jnp.arange(B, dtype=jnp.int32) * nvox
+    return jax.vmap(
+        lambda b, o, r, p: sdf.trilinear_flat(
+            flat, b, grids.shape[1:], o, r, p
+        )
+    )(bases, origin, resolution, pos_flat)
+
+
+def cost_and_grad_batch(dp, bctx: PenaltyCtx, grids, origin, resolution,
+                        cfg: OptimizerConfig, step: int,
+                        interpret: bool = False):
+    """Batch-first total cost + gradient.
+
+    Args:
+      dp: (B, 3, num_dp); bctx: batched PenaltyCtx; grids (B, nx, ny, nz).
+    Returns:
+      cost (B,), grad (B, 3, num_dp).
+    """
+    ws = 0.0 if step == 1 else cfg.w_smooth
+    wc = cfg.w_collision
+
+    d_full = jnp.concatenate([bctx.Df, dp], axis=2)  # (B, 3, ndim)
+    cost_s = _einsum("nxa,nac,nxc->n", d_full, bctx.dep.R, d_full)
+    grad_s = 2.0 * _einsum(
+        "nxf,nfd->nxd", bctx.Df, bctx.dep.Rfp
+    ) + 2.0 * _einsum("nxp,npd->nxd", dp, bctx.dep.Rpp)
+
+    if abs(wc) < 1e-4:
+        cost = ws * cost_s + cfg.cost_eps
+        grad = ws * grad_s
+        if cfg.gradient_mode == "reference":
+            grad = grad + cfg.grad_eps
+        return cost, grad
+
+    # coefficients + sample states, batch-first
+    from grad_traj_optimization_tpu.core import poly as _poly
+
+    B = dp.shape[0]
+    m = bctx.T.shape[1]
+    idx = jnp.asarray(qp.opt_dmap(m))
+    D = d_full[:, :, idx].reshape(B, 3, m, 6)
+    ainv = jax.vmap(_poly.segment_ainv)(bctx.T)  # (B, m, 6, 6)
+    coeff = _einsum("nsjc,nxsc->nsxj", ainv, D)  # (B, m, 3, 6)
+    pos = _einsum("nmkj,nmxj->nmkx", bctx.Tmat, coeff)
+    vel = _einsum("nmkj,nmxj->nmkx", bctx.TVmat, coeff)
+
+    K = cfg.n_samples
+    S = m * K
+    d_s, g_s = _lookup_batched(
+        pos.reshape(B, S, 3), grids, origin, resolution, cfg, interpret
+    )
+    d_s = d_s.reshape(B, m, K)
+    g_s = g_s.reshape(B, m, K, 3)
+
+    cd = cfg.alpha * jnp.exp(-(d_s - cfg.d0) / cfg.r)
+    gd = -cd / cfg.r
+    vn = jnp.linalg.norm(vel, axis=-1) + cfg.vel_eps
+
+    cost_c = _einsum("nmk,nm->n", cd * vn, bctx.dt)
+    if cfg.gradient_mode == "reference":
+        w_dist = gd * cd * vn
+    else:
+        w_dist = gd * vn
+    w1 = w_dist[..., None] * g_s
+    w2 = (cd / vn)[..., None] * vel
+    grad_c = _einsum(
+        "nmkx,nmkd,nm->nxd", w1, bctx.TL, bctx.dt
+    ) + _einsum("nmkx,nmkd,nm->nxd", w2, bctx.TVL, bctx.dt)
+
+    cost = ws * cost_s + wc * cost_c + cfg.cost_eps
+    grad = ws * grad_s + wc * grad_c
+    if cfg.gradient_mode == "reference":
+        grad = grad + cfg.grad_eps
+    return cost, grad

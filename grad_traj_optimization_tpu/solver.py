@@ -194,6 +194,18 @@ def solve_batch(
     """
     B = scenarios.waypoints.shape[0]
     grid_shape = scenarios.dist.shape[1:]
+
+    # fast path: fused Pallas lookup — opt-in (lookup_mode="fused")
+    # until its Mosaic lowering is validated on every target generation
+    if cfg.lookup_mode == "fused":
+        from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+        m = scenarios.waypoints.shape[1] - 1
+        if tp.supports(grid_shape, m * cfg.n_samples):
+            return solve_batch_fused(
+                scenarios, cfg=cfg, steps=steps, record_trace=record_trace
+            )
+
     nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
     flat_all = scenarios.dist.reshape(-1)
     shared = scenarios.dist.shape[0] == 1
@@ -238,3 +250,83 @@ def evaluate_solution(sol: Solution, n: int = 400):
         "max_a": max_a,
         "cost": sol.cost,
     }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "record_trace", "interpret")
+)
+def solve_batch_fused(
+    scenarios: Scenario,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    steps: tuple[int, ...] = (2,),
+    record_trace: bool = False,
+    interpret: bool = False,
+) -> Solution:
+    """Batch-first solve using the fused Pallas trilinear kernel.
+
+    Produces the same iterates as :func:`solve_batch` (per-scenario BB
+    steps and acceptance), but evaluates the whole batch's distance-field
+    lookups in one fused kernel with the grid slab resident in VMEM —
+    the fast path on TPU.  Requires per-scenario grids (no shared-map
+    shortcut) with nx, ny <= 128 and m * n_samples <= 256.
+    """
+    wp = scenarios.waypoints  # (B, m+1, 3)
+    B = wp.shape[0]
+    T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
+        wp
+    )
+    Df, dp0 = jax.vmap(qp.straight_line_d)(wp)
+    bctx = penalty.build_ctx_batch(T, Df, cfg)
+    num_dp = dp0.shape[2]
+    lb, ub = jax.vmap(
+        lambda w: penalty.bounds(w, num_dp, cfg, dtype=w.dtype)
+    )(wp)
+
+    grids = scenarios.dist
+    if grids.shape[0] == 1 and B > 1:
+        grids = jnp.broadcast_to(grids, (B,) + grids.shape[1:])
+
+    dp = dp0
+    traces = []
+    n_acc = jnp.zeros((B,), jnp.int32)
+    cost = jnp.zeros((B,))
+    for step in steps:
+        cag = functools.partial(
+            penalty.cost_and_grad_batch,
+            bctx=bctx,
+            grids=grids,
+            origin=scenarios.origin,
+            resolution=scenarios.resolution,
+            cfg=cfg,
+            step=step,
+            interpret=interpret,
+        )
+        iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
+        res = descent.minimize_batch(
+            cag, dp, lb, ub, iters, cfg, record_trace=record_trace
+        )
+        dp, cost = res.dp, res.cost
+        n_acc = n_acc + res.n_accept
+        traces.append(res.cost_trace)
+
+    coeff = jax.vmap(qp.coeff_from_d)(Df, dp, T)
+    bad = jnp.logical_not(
+        jnp.isfinite(cost) & jnp.all(jnp.isfinite(dp), axis=(1, 2))
+    )
+    status = jnp.where(bad, STATUS_DIVERGED, STATUS_OK).astype(jnp.int32)
+    coeff_seed = jax.vmap(qp.coeff_from_d)(Df, dp0, T)
+    bm = bad[:, None, None]
+    dp_safe = jnp.where(bm, dp0, dp)
+    coeff = jnp.where(bad[:, None, None, None], coeff_seed, coeff)
+    return Solution(
+        coeff=coeff,
+        T=T,
+        cost=cost,
+        cost_trace=(
+            jnp.concatenate(traces, axis=1) if traces
+            else jnp.zeros((B, 0))
+        ),
+        n_accept=n_acc,
+        dp=dp_safe,
+        status=status,
+    )

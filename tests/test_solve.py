@@ -155,3 +155,33 @@ def test_kino_seeding_hits_states():
         np.testing.assert_allclose(coeff[s] @ bT, pos[s + 1], atol=1e-3)
         vT = np.asarray(poly.vel_powers(jnp.asarray(T[s])))
         np.testing.assert_allclose(coeff[s] @ vT, vel[s + 1], atol=5e-3)
+
+
+def test_solve_batch_fused_matches_vmap_path():
+    """Batch-first fused-kernel path (interpret mode on CPU) vs the
+    vmapped reference path: same iterates within f32 noise."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(iters_step1=4, iters_step2=10)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    wps = np.stack([wp, wp + np.array([0.15, 0.0, 0.1])], axis=0)
+    batch = solve_mod.Scenario(
+        dist=jnp.stack([scn.dist, scn.dist]),
+        origin=jnp.broadcast_to(scn.origin, (2, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (2,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    s_ref = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=(1, 2), record_trace=False
+    )
+    s_fused = solve_mod.solve_batch_fused(
+        batch, cfg=cfg, steps=(1, 2), record_trace=False, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fused.cost), np.asarray(s_ref.cost), rtol=5e-3
+    )
+    from grad_traj_optimization_tpu.core import poly
+
+    for b in range(2):
+        p1, _ = poly.sample_uniform(s_ref.coeff[b], s_ref.T[b], 100)
+        p2, _ = poly.sample_uniform(s_fused.coeff[b], s_fused.T[b], 100)
+        assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3

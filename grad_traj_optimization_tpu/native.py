@@ -137,3 +137,58 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
         n_wp, _f64p(cfg_arr), _f64p(coeff), _f64p(times),
     )
     return coeff, times, cost
+
+
+def kino_search(
+    dist,
+    origin,
+    resolution,
+    start_state,
+    goal_state,
+    max_acc: float = 2.0,
+    max_vel: float = 3.0,
+    max_tau: float = 0.5,
+    w_time: float = 10.0,
+    lambda_heu: float = 5.0,
+    margin: float = 0.2,
+    max_nodes: int = 20000,
+    goal_r: float = 3.0,
+    max_knots: int = 64,
+):
+    """Exact host-side kinodynamic A* (reference algorithm).
+
+    Returns (pos (K,3), vel (K,3), acc (K,3), times (K-1,), reached).
+    The TPU beam search (search/kinodynamic.py) approximates this; use
+    this exact version for host seeding and beam-quality checks.
+    """
+    lib = _load()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gtop_kino_search.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ctypes.c_float, f64p, f64p, f64p, f64p, f64p, ctypes.c_int,
+    ]
+    lib.gtop_kino_search.restype = ctypes.c_int
+
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    origin32 = np.ascontiguousarray(origin, dtype=np.float32)
+    s6 = np.ascontiguousarray(start_state, dtype=np.float64)
+    g6 = np.ascontiguousarray(goal_state, dtype=np.float64)
+    cfg = np.array(
+        [max_acc, max_vel, max_tau, w_time, lambda_heu, margin,
+         max_nodes, goal_r],
+        dtype=np.float64,
+    )
+    knots = np.zeros((max_knots, 9), np.float64)
+    times = np.zeros(max_knots, np.float64)
+    nx, ny, nz = dist.shape
+    k = lib.gtop_kino_search(
+        _f32p(dist), nx, ny, nz, _f32p(origin32), resolution, _f64p(s6),
+        _f64p(g6), _f64p(cfg), _f64p(knots), _f64p(times), max_knots,
+    )
+    if k == 0:
+        return (np.zeros((0, 3)),) * 3 + (np.zeros(0), False)
+    return (
+        knots[:k, 0:3], knots[:k, 3:6], knots[:k, 6:9], times[: k - 1],
+        True,
+    )

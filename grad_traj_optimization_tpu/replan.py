@@ -165,12 +165,13 @@ def replan_loop(
             tgt[:3] = state[:3] + to_goal / dist_goal * rcfg.horizon
             tgt[3:] = 0.0
 
-        # 2. kinodynamic search (static field; dynamic margin handled by
-        #    inflating the margin — full space-time search in the search
-        #    grid is a later-round refinement)
+        # 2. kinodynamic search against the space-time oracle: static EDT
+        #    min predicted obstacle boxes at each primitive's absolute time
+        #    (reference compare22 flow, kinodynamic_astar 'dynamic' mode)
         kres = kinodynamic.search(
             dist_grid, origin, resolution,
             state.astype(np.float32), tgt.astype(np.float32),
+            obstacle_pred=pred, start_time=t_now,
             max_acc=rcfg.max_acc, max_vel=rcfg.max_vel,
             margin=rcfg.margin, max_iters=rcfg.kino_iters,
             beam=rcfg.kino_beam,

@@ -259,6 +259,8 @@ def search(
     resolution,
     start_state,
     goal_state,
+    obstacle_pred=None,
+    start_time: float = 0.0,
     max_acc: float = 2.0,
     max_vel: float = 3.0,
     max_tau: float = 0.5,
@@ -273,6 +275,11 @@ def search(
     max_knots: int = 32,
 ) -> KinoResult:
     """Beam kinodynamic search from start_state to goal_state (both (6,)).
+
+    When ``obstacle_pred`` (a search.predictor.ObjPrediction) is given,
+    collision checks use the space-time oracle min(static EDT, predicted
+    boxes at the node's absolute time) — the reference's ``dynamic`` mode
+    (kinodynamic_astar.cpp:199-213 via evaluateCoarseEDT(pos, t)).
 
     Returns up to ``max_knots`` knot states along the best found branch
     (parents tracked per iteration), with the final knot the goal if the
@@ -293,13 +300,14 @@ def search(
     # beam state
     states0 = jnp.tile(start_state[None], (beam, 1))
     g0 = jnp.full((beam,), big, dtype).at[0].set(0.0)
+    t0 = jnp.full((beam,), jnp.asarray(start_time, dtype))
     # history: which (parent_slot, primitive, tau) produced each beam slot
     hist_parent0 = jnp.zeros((max_iters, beam), jnp.int32)
     hist_u0 = jnp.zeros((max_iters, beam, 3), dtype)
     hist_tau0 = jnp.zeros((max_iters, beam), dtype)
 
     def body(it, carry):
-        states, g, hp, hu, ht = carry
+        states, g, tcur, hp, hu, ht = carry
         # expand: (beam, P, n_dur, 6)
         cand = state_transit(
             states[:, None, None, :],
@@ -327,9 +335,18 @@ def search(
             prim[None, :, None, None, :],
             (taus[None, None, :, None] * ks[None, None, None, :]),
         )[..., :3]
-        dmin = jnp.min(
-            sdf.distance_at(dist_grid, origin, res, sweep), axis=-1
-        )
+        d_static = sdf.distance_at(dist_grid, origin, res, sweep)
+        if obstacle_pred is not None:
+            from grad_traj_optimization_tpu.fields import dynamic as _dyn
+
+            t_samp = (
+                tcur[:, None, None, None]
+                + taus[None, None, :, None] * ks[None, None, None, :]
+            )
+            d_box = _dyn.dist_to_boxes(sweep, t_samp, obstacle_pred)
+            d_box = jnp.min(d_box, axis=-1)
+            d_static = jnp.minimum(d_static, d_box)
+        dmin = jnp.min(d_static, axis=-1)
         no_col = dmin > margin
 
         ok = in_map & vel_ok & no_col
@@ -339,25 +356,46 @@ def search(
         f = gc + lambda_heu * jnp.where(jnp.isfinite(h), h, 0.0)
         f = jnp.where(ok, f, big)
 
-        # select the next beam
-        flat_f = f.reshape(-1)
-        neg, idx = jax.lax.top_k(-flat_f, beam)
-        new_states = cand.reshape(-1, 6)[idx]
-        new_g = gc.reshape(-1)[idx]
-
-        parent = idx // (P * taus.shape[0])
-        rem = idx % (P * taus.shape[0])
-        u_sel = prim[rem // taus.shape[0]]
-        tau_sel = taus[rem % taus.shape[0]]
+        # select the next beam with voxel dedup: keep only the best-f
+        # candidate per occupied voxel, then top-k over distinct voxels.
+        # This is the batched analogue of the reference's NodeHashTable
+        # dedup + same-voxel pruning (kinodynamic_astar.cpp:168-175,
+        # 223-259) and is what keeps the beam spatially diverse — a plain
+        # top-k fills the beam with near-duplicates of the greediest
+        # lineage, which then dies collectively at the first trap.
+        nd = taus.shape[0]
+        N = beam * P * nd
+        flat_f = f.reshape(N)
+        pos_c = cand.reshape(N, 6)[:, :3]
+        vox = jnp.floor((pos_c - origin) / res).astype(jnp.int32)
+        vox = jnp.clip(vox, 0, jnp.asarray(dist_grid.shape) - 1)
+        h = (
+            vox[:, 0] * dist_grid.shape[1] + vox[:, 1]
+        ) * dist_grid.shape[2] + vox[:, 2]
+        order = jnp.lexsort((flat_f, h))
+        h_sorted = h[order]
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), h_sorted[1:] != h_sorted[:-1]]
+        )
+        f_dedup = jnp.where(first, flat_f[order], big)
+        _, sel_sorted = jax.lax.top_k(-f_dedup, beam)
+        idx = order[sel_sorted]
+        new_states = cand.reshape(N, 6)[idx]
+        new_g = gc.reshape(N)[idx]
+        parent = idx // (P * nd)
+        rem = idx % (P * nd)
+        u_sel = prim[rem // nd]
+        tau_sel = taus[rem % nd]
 
         hp = hp.at[it].set(parent)
         hu = hu.at[it].set(u_sel)
         ht = ht.at[it].set(tau_sel)
-        return new_states, new_g, hp, hu, ht
+        new_t = tcur[parent] + tau_sel
+        return new_states, new_g, new_t, hp, hu, ht
 
-    states, g, hp, hu, ht = jax.lax.fori_loop(
+    states, g, tcur, hp, hu, ht = jax.lax.fori_loop(
         0, max_iters, body,
-        (states0, g0, hist_parent0, hist_u0, hist_tau0),
+        (states0, g0, t0, hist_parent0, hist_u0, hist_tau0),
     )
 
     # pick the leaf with the best total estimate including one-shot

@@ -592,3 +592,331 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact kinodynamic A* (host-side front-end, reference algorithm).
+// ---------------------------------------------------------------------------
+//
+// Faithful re-implementation of the reference KinodynamicAstar search
+// (kinodynamic_astar.cpp:17-315): priority-queue A* over (position,
+// velocity) states with acceleration primitives (5^3 inputs, z-halved),
+// voxel-hash dedup, Pontryagin heuristic via exact quartic roots, and a
+// cubic one-shot to the goal.  The TPU path uses a batched beam variant
+// (search/kinodynamic.py); this exact version serves host-side seeding
+// and parity checks of the beam's output quality.
+
+#include <map>
+#include <queue>
+#include <unordered_map>
+
+namespace {
+
+struct KNode {
+  double state[6];
+  double g = 0, f = 0;
+  double time = 0;
+  int parent = -1;
+  double u[3] = {0, 0, 0};
+  double tau = 0;
+};
+
+void k_transit(const double* s0, const double* u, double tau, double* s1) {
+  for (int a = 0; a < 3; ++a) {
+    s1[a] = s0[a] + s0[3 + a] * tau + 0.5 * u[a] * tau * tau;
+    s1[3 + a] = s0[3 + a] + u[a] * tau;
+  }
+}
+
+int cubic_real(double a, double b, double c, double d, double* out) {
+  double a2 = b / a, a1 = c / a, a0 = d / a;
+  double Q = (3 * a1 - a2 * a2) / 9.0;
+  double R = (9 * a1 * a2 - 27 * a0 - 2 * a2 * a2 * a2) / 54.0;
+  double D = Q * Q * Q + R * R;
+  if (D > 0) {
+    double S = std::cbrt(R + std::sqrt(D));
+    double T = std::cbrt(R - std::sqrt(D));
+    out[0] = -a2 / 3 + S + T;
+    return 1;
+  }
+  double theta = std::acos(std::clamp(
+      R / std::sqrt(std::max(-(Q * Q * Q), 1e-300)), -1.0, 1.0));
+  double sq = 2 * std::sqrt(std::max(-Q, 0.0));
+  out[0] = sq * std::cos(theta / 3) - a2 / 3;
+  out[1] = sq * std::cos((theta + 2 * M_PI) / 3) - a2 / 3;
+  out[2] = sq * std::cos((theta + 4 * M_PI) / 3) - a2 / 3;
+  return 3;
+}
+
+int quartic_real(double a, double b, double c, double d, double e,
+                 double* out) {
+  double a3 = b / a, a2 = c / a, a1 = d / a, a0 = e / a;
+  double ys[3];
+  cubic_real(1, -a2, a1 * a3 - 4 * a0, 4 * a2 * a0 - a1 * a1 - a3 * a3 * a0,
+             ys);
+  double y1 = ys[0];
+  double r = a3 * a3 / 4 - a2 + y1;
+  if (r < 0) return 0;
+  double R = std::sqrt(r);
+  double Dq, Eq;
+  if (R != 0) {
+    Dq = 0.75 * a3 * a3 - R * R - 2 * a2 +
+         0.25 * (4 * a3 * a2 - 8 * a1 - a3 * a3 * a3) / R;
+    Eq = 0.75 * a3 * a3 - R * R - 2 * a2 -
+         0.25 * (4 * a3 * a2 - 8 * a1 - a3 * a3 * a3) / R;
+  } else {
+    double inner = std::sqrt(std::max(y1 * y1 - 4 * a0, 0.0));
+    Dq = 0.75 * a3 * a3 - 2 * a2 + 2 * inner;
+    Eq = 0.75 * a3 * a3 - 2 * a2 - 2 * inner;
+  }
+  int n = 0;
+  if (Dq >= 0) {
+    double Dv = std::sqrt(Dq);
+    out[n++] = -a3 / 4 + R / 2 + Dv / 2;
+    out[n++] = -a3 / 4 + R / 2 - Dv / 2;
+  }
+  if (Eq >= 0) {
+    double Ev = std::sqrt(Eq);
+    out[n++] = -a3 / 4 - R / 2 + Ev / 2;
+    out[n++] = -a3 / 4 - R / 2 - Ev / 2;
+  }
+  return n;
+}
+
+double k_heuristic(const double* x1, const double* x2, double w_time,
+                   double max_vel, double* opt_time) {
+  double dp[3] = {x2[0] - x1[0], x2[1] - x1[1], x2[2] - x1[2]};
+  const double* v0 = x1 + 3;
+  const double* v1 = x2 + 3;
+  double dpdp = dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2];
+  double c1 = -36 * dpdp;
+  double c2 = 0, c3 = 0;
+  for (int a = 0; a < 3; ++a) {
+    c2 += 24 * (v0[a] + v1[a]) * dp[a];
+    c3 += -4 * (v0[a] * v0[a] + v0[a] * v1[a] + v1[a] * v1[a]);
+  }
+  double roots[5];
+  int n = quartic_real(w_time, 0, c3, c2, c1, roots);
+  double t_bar =
+      std::max({std::fabs(dp[0]), std::fabs(dp[1]), std::fabs(dp[2])}) /
+      max_vel;
+  roots[n++] = t_bar;
+  double best = 1e17, t_d = t_bar;
+  for (int i = 0; i < n; ++i) {
+    double t = roots[i];
+    if (!(t >= t_bar) || !std::isfinite(t)) continue;
+    double c = -c1 / (3 * t * t * t) - c2 / (2 * t * t) - c3 / t +
+               w_time * t;
+    if (c < best) {
+      best = c;
+      t_d = t;
+    }
+  }
+  *opt_time = t_d;
+  return (1.0 + 1.0 / 10000.0) * best;
+}
+
+double k_dist_at(const float* dist, int nx, int ny, int nz,
+                 const float* origin, float res, const double* p) {
+  int ix = int(std::floor((p[0] - origin[0]) / res));
+  int iy = int(std::floor((p[1] - origin[1]) / res));
+  int iz = int(std::floor((p[2] - origin[2]) / res));
+  if (ix < 0 || ix >= nx || iy < 0 || iy >= ny || iz < 0 || iz >= nz)
+    return -1.0;
+  return dist[flat(ix, iy, iz, ny, nz)];
+}
+
+bool k_shot_ok(const float* dist, int nx, int ny, int nz,
+               const float* origin, float res, const double* s1,
+               const double* s2, double t_d, double margin) {
+  double dp[3], dv[3];
+  for (int a = 0; a < 3; ++a) {
+    dp[a] = s2[a] - s1[a];
+    dv[a] = s2[3 + a] - s1[3 + a];
+  }
+  double ca[3], cb[3];
+  for (int a = 0; a < 3; ++a) {
+    ca[a] = (1.0 / 6.0) * (-12.0 / (t_d * t_d * t_d) * (dp[a] - s1[3 + a] * t_d) +
+                           6.0 / (t_d * t_d) * dv[a]);
+    cb[a] = 0.5 * (6.0 / (t_d * t_d) * (dp[a] - s1[3 + a] * t_d) -
+                   2.0 / t_d * dv[a]);
+  }
+  for (int k = 1; k <= 10; ++k) {
+    double t = t_d * k / 10.0;
+    double p[3];
+    for (int a = 0; a < 3; ++a)
+      p[a] = s1[a] + s1[3 + a] * t + cb[a] * t * t + ca[a] * t * t * t;
+    if (k_dist_at(dist, nx, ny, nz, origin, res, p) <= margin) return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+// Exact kinodynamic A*.  cfg: [max_acc, max_vel, max_tau, w_time,
+// lambda_heu, margin, max_nodes, goal_r].  Outputs knot states of the
+// best branch: out_knots (max_knots x 9: pos, vel, acc) and
+// out_times (max_knots).  Returns number of knots (including the goal
+// knot when the one-shot succeeded) or 0 if no path.
+extern "C" int gtop_kino_search(const float* dist, int nx, int ny, int nz,
+                     const float* origin, float resolution,
+                     const double* start, const double* goal,
+                     const double* cfg, double* out_knots,
+                     double* out_times, int max_knots) {
+  const double max_acc = cfg[0], max_vel = cfg[1], max_tau = cfg[2];
+  const double w_time = cfg[3], lambda_heu = cfg[4], margin = cfg[5];
+  const int max_nodes = int(cfg[6]);
+  const double goal_r = cfg[7];
+  const int check_num = 5;
+
+  std::vector<KNode> nodes;
+  nodes.reserve(max_nodes + 8);
+  // open set: (f, node index); voxel hash -> best node index
+  std::priority_queue<std::pair<double, int>,
+                      std::vector<std::pair<double, int>>,
+                      std::greater<>> open;
+  std::unordered_map<int64_t, int> table;
+
+  auto vox_key = [&](const double* p) -> int64_t {
+    int ix = int(std::floor((p[0] - origin[0]) / resolution));
+    int iy = int(std::floor((p[1] - origin[1]) / resolution));
+    int iz = int(std::floor((p[2] - origin[2]) / resolution));
+    return (int64_t(ix) * ny + iy) * nz + iz;
+  };
+
+  KNode s;
+  std::memcpy(s.state, start, 6 * sizeof(double));
+  double t_opt;
+  s.f = lambda_heu * k_heuristic(start, goal, w_time, max_vel, &t_opt);
+  nodes.push_back(s);
+  open.push({s.f, 0});
+  table[vox_key(start)] = 0;
+
+  int best_leaf = -1;
+  double best_total = 1e18;
+  std::vector<double> accs;
+  for (int i = -2; i <= 2; ++i) accs.push_back(max_acc * i / 2.0);
+
+  while (!open.empty() && int(nodes.size()) < max_nodes) {
+    auto [f_pop, cur] = open.top();
+    open.pop();
+    if (f_pop > nodes[cur].f + 1e-9) continue;  // stale entry
+
+    // one-shot attempt near the goal
+    double dg = 0;
+    for (int a = 0; a < 3; ++a) {
+      double dd = nodes[cur].state[a] - goal[a];
+      dg += dd * dd;
+    }
+    if (std::sqrt(dg) < goal_r) {
+      double t_shot;
+      k_heuristic(nodes[cur].state, goal, w_time, max_vel, &t_shot);
+      t_shot = std::max(t_shot, 1e-2);
+      if (k_shot_ok(dist, nx, ny, nz, origin, resolution,
+                    nodes[cur].state, goal, t_shot, margin)) {
+        best_leaf = cur;
+        best_total = nodes[cur].g;
+        break;
+      }
+    }
+
+    for (double ax : accs)
+      for (double ay : accs)
+        for (double az : accs) {
+          double u[3] = {ax, ay, 0.5 * az};  // z halved, as reference
+          double tau = max_tau;
+          double nstate[6];
+          k_transit(nodes[cur].state, u, tau, nstate);
+
+          // bounds & velocity feasibility
+          bool ok = true;
+          for (int a = 0; a < 3 && ok; ++a) {
+            double lo = origin[a];
+            double size = (a == 0 ? nx : a == 1 ? ny : nz) * resolution;
+            if (nstate[a] <= lo + 1e-3 || nstate[a] >= lo + size - 1e-3)
+              ok = false;
+            if (std::fabs(nstate[3 + a]) > max_vel) ok = false;
+          }
+          if (!ok) continue;
+          // same-voxel prune
+          if (vox_key(nstate) == vox_key(nodes[cur].state)) continue;
+          // collision sweep
+          for (int k = 1; k <= check_num && ok; ++k) {
+            double xt[6];
+            k_transit(nodes[cur].state, u, tau * k / check_num, xt);
+            if (k_dist_at(dist, nx, ny, nz, origin, resolution, xt) <=
+                margin)
+              ok = false;
+          }
+          if (!ok) continue;
+
+          double g2 = nodes[cur].g +
+                      (u[0] * u[0] + u[1] * u[1] + u[2] * u[2] + w_time) *
+                          tau;
+          double h2 =
+              lambda_heu *
+              k_heuristic(nstate, goal, w_time, max_vel, &t_opt);
+          double f2 = g2 + h2;
+
+          int64_t key = vox_key(nstate);
+          auto it = table.find(key);
+          if (it != table.end()) {
+            if (f2 >= nodes[it->second].f) continue;
+            // better path into this voxel: update node
+            KNode& nd = nodes[it->second];
+            std::memcpy(nd.state, nstate, 6 * sizeof(double));
+            nd.g = g2;
+            nd.f = f2;
+            nd.parent = cur;
+            std::memcpy(nd.u, u, 3 * sizeof(double));
+            nd.tau = tau;
+            nd.time = nodes[cur].time + tau;
+            open.push({f2, it->second});
+          } else {
+            KNode nd;
+            std::memcpy(nd.state, nstate, 6 * sizeof(double));
+            nd.g = g2;
+            nd.f = f2;
+            nd.parent = cur;
+            std::memcpy(nd.u, u, 3 * sizeof(double));
+            nd.tau = tau;
+            nd.time = nodes[cur].time + tau;
+            nodes.push_back(nd);
+            table[key] = int(nodes.size()) - 1;
+            open.push({f2, int(nodes.size()) - 1});
+          }
+        }
+  }
+
+  if (best_leaf < 0) return 0;
+
+  // backtrack
+  std::vector<int> chain;
+  for (int i = best_leaf; i >= 0; i = nodes[i].parent) chain.push_back(i);
+  std::reverse(chain.begin(), chain.end());
+  int n = int(chain.size());
+  int extra = 1;  // goal knot
+  int total = std::min(n + extra, max_knots);
+  int skip = n + extra - total;  // drop oldest if over capacity
+  int w = 0;
+  for (int i = skip; i < n; ++i, ++w) {
+    const KNode& nd = nodes[chain[i]];
+    for (int a = 0; a < 3; ++a) {
+      out_knots[9 * w + a] = nd.state[a];
+      out_knots[9 * w + 3 + a] = nd.state[3 + a];
+      out_knots[9 * w + 6 + a] = nd.u[a];
+    }
+    out_times[w] = (i + 1 < n) ? nodes[chain[i + 1]].tau : 0.0;
+  }
+  // final knot: goal with one-shot duration
+  double t_shot;
+  k_heuristic(nodes[best_leaf].state, goal, w_time, max_vel, &t_shot);
+  t_shot = std::max(t_shot, 1e-2);
+  if (w > 0) out_times[w - 1] = t_shot;
+  for (int a = 0; a < 3; ++a) {
+    out_knots[9 * w + a] = goal[a];
+    out_knots[9 * w + 3 + a] = goal[3 + a];
+    out_knots[9 * w + 6 + a] = 0.0;
+  }
+  out_times[w] = 0.0;
+  return w + 1;
+}

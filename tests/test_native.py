@@ -99,3 +99,60 @@ def test_native_solve_m1_no_free_vars():
     basis0 = np.array([0.0**j for j in range(6)])
     basis0[0] = 1.0
     np.testing.assert_allclose(coeff[0] @ basis0, wp[0], atol=1e-9)
+
+
+def test_native_kino_search_through_gap():
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = [
+        (x, 0.0, z)
+        for x in np.arange(-5, 5, res)
+        for z in np.arange(0.1, 4, res)
+        if abs(x) > 0.8
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    dist = np.asarray(sdf.edt(occ, res))
+    pos, vel, acc, times, reached = native.kino_search(
+        dist, origin, res,
+        np.array([0, -3, 2, 0, 0.5, 0.0]),
+        np.array([0, 3, 2, 0, 0, 0.0]),
+    )
+    assert reached and len(pos) >= 3
+    np.testing.assert_allclose(pos[0], [0, -3, 2], atol=1e-9)
+    np.testing.assert_allclose(pos[-1], [0, 3, 2], atol=1e-9)
+    # all knots keep the margin
+    for p in pos:
+        i = np.clip(
+            np.floor((p - origin) / res).astype(int), 0, [39, 39, 15]
+        )
+        assert dist[i[0], i[1], i[2]] > 0.2
+    # velocity limits respected at knots
+    assert np.abs(vel).max() <= 3.0 + 1e-9
+
+
+def test_native_kino_search_blocked():
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = [
+        (x, 0.0, z)
+        for x in np.arange(-5, 5, res)
+        for z in np.arange(0.1, 4, res)
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    dist = np.asarray(sdf.edt(occ, res))
+    # margin > cell size: the 10-sample one-shot sweep (reference
+    # kinodynamic_astar.cpp:415-446) can quantization-slip through a
+    # one-cell wall when margin < resolution
+    pos, vel, acc, times, reached = native.kino_search(
+        dist, origin, res,
+        np.array([0, -3, 2, 0, 0.0, 0.0]),
+        np.array([0, 3, 2, 0, 0, 0.0]),
+        max_nodes=4000, margin=0.3,
+    )
+    assert not reached

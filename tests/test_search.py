@@ -233,3 +233,40 @@ def test_free_end_vel_shot_properties():
         np.testing.assert_allclose(coef[:, 1], v0, atol=1e-6)
         # end velocity within the stretch bound
         assert np.all(v1 <= (2.5 / 3) * 3.0 + 1e-3)
+
+
+def test_kino_search_space_time_avoids_moving_box():
+    """With a box parked on the straight-line path at crossing time, the
+    space-time search must deviate; the static search (time<0 analogue)
+    would happily pass through that region before/after."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    dist = jnp.full((40, 40, 16), sdf.FREE_DIST, jnp.float32)
+    start = np.array([0, -3, 2, 0, 1.0, 0], np.float32)
+    goal = np.array([0, 3, 2, 0, 0, 0], np.float32)
+
+    # stationary (const-vel = 0) box sitting at the corridor midpoint
+    hist = np.array([[[0.0, 0.0, 2.0], [0.0, 0.0, 2.0]]], np.float32)
+    hist_t = np.array([[-0.5, 0.0]], np.float32)
+    pred = predictor.fit_const_vel(
+        jnp.asarray(hist), jnp.asarray(hist_t),
+        jnp.asarray([[1.2, 1.2, 1.2]], jnp.float32),
+    )
+    res_dyn = kinodynamic.search(
+        dist, origin, res, start, goal, obstacle_pred=pred,
+        max_iters=14, beam=64, margin=0.2,
+    )
+    # knots keep clearance from the box at their times
+    from grad_traj_optimization_tpu.fields import dynamic as dyn
+
+    times = np.concatenate([[0.0], np.cumsum(np.asarray(res_dyn.times))])
+    n = len(np.asarray(res_dyn.pos))
+    d = [
+        float(
+            dyn.min_dist_to_boxes(
+                jnp.asarray(res_dyn.pos[i]), jnp.asarray(times[min(i, len(times)-1)]), pred
+            )
+        )
+        for i in range(n - 1)  # skip the final one-shot goal knot
+    ]
+    assert min(d) > 0.15

@@ -1,29 +1,26 @@
 """Fused Pallas TPU kernel for the trilinear distance+gradient lookup.
 
-The distance-field lookup dominates the penalty optimizer.  The three
-available XLA formulations all hit a wall on TPU:
+The distance-field lookup dominates the penalty optimizer.  The XLA
+formulations all hit a wall on TPU: scalar and row gathers cost ~35 ns
+per element (element-wise lowering), and the dense separable contraction
+(sdf.trilinear_mxu) round-trips a (samples, ny, nz) intermediate through
+HBM every iteration (~4 GB per evaluation at batch 1024).
 
-* scalar gathers: ~35 ns/element (XLA lowers them element-by-element);
-* row gathers: same (per-row dispatch bound);
-* dense separable contractions (sdf.trilinear_mxu): fast MXU math but the
-  (samples, ny, nz) intermediate round-trips through HBM every iteration
-  (~4 GB per evaluation at batch 1024).
+This kernel fuses the whole separable contraction per scenario in VMEM:
 
-This kernel fuses the whole separable contraction per scenario with the
-grid slab resident in VMEM:
+    t1 = [wx_n; wx_d] @ G                  one MXU matmul, G arranged
+                                           (nx, nz*128) with y on lanes
+    t1 -> (2S, nz, 128)                    lane-preserving reshape
+    rn/rdy/rdx = lane reductions against wy_n / wy_d        (VPU)
+    d/gx/gy/gz = z reductions against wz_n / wz_d           (VPU)
 
-  for each z-slab (nx, ny) of the scenario's grid:
-      t1   = [wx_n; wx_d] @ slab          (MXU, f32)
-      r_*  = lane-reductions against wy_n / wy_d        (VPU)
-      out += wz_n[z] / wz_d[z] weighted accumulations   (VPU)
+HBM traffic per evaluation is one read of the padded grid plus small
+weight tensors — no materialized intermediate.  The grid layout prep
+(transpose + pad) is hoisted into :func:`prep_grids` so the per-iteration
+cost is the kernel alone.
 
-so HBM traffic per evaluation is one read of the (padded) grid plus the
-small weight tensors — no materialized intermediate.  Results are
-numerically identical to sdf.trilinear_mxu (same weights, f32
-accumulation).
-
-Shape limits (fallback to trilinear_mxu otherwise): nx <= 128,
-ny <= 128, nz such that the padded slab stack fits VMEM (nz <= ~160).
+Shape limits (fall back to sdf.trilinear_mxu otherwise): nx <= 128,
+ny <= 128, nz limited by VMEM (t1 is 2*SP x nz*128 f32), samples <= SP.
 """
 
 from __future__ import annotations
@@ -36,56 +33,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: padded sample capacity per scenario (samples on sublanes)
-SP = 256
+SP = 192
 #: padded x/y extents (MXU tile)
 NP = 128
 
 
 def supports(grid_shape, n_samples: int) -> bool:
     nx, ny, nz = grid_shape
-    return nx <= NP and ny <= NP and nz <= 160 and n_samples <= SP
+    # t1 VMEM: 2*SP * nz*128 * 4B; keep under ~8 MB
+    return nx <= NP and ny <= NP and n_samples <= SP and nz * NP * 2 * SP * 4 <= (8 << 20)
 
 
-def _kernel(nz: int, wxs_ref, wyn_ref, wyd_ref, wznt_ref, wzdt_ref,
+def prep_grids(grids):
+    """Arrange (B, nx, ny, nz) grids into the kernel layout
+    (B, NP, nz*NP) with column c = z * NP + y.  Call once per solve."""
+    B, nx, ny, nz = grids.shape
+    g = jnp.transpose(grids, (0, 1, 3, 2))  # (B, nx, nz, ny)
+    g = jnp.pad(g, ((0, 0), (0, NP - nx), (0, 0), (0, NP - ny)))
+    return g.reshape(B, NP, nz * NP)
+
+
+def _kernel(nz: int, prec, wxs_ref, wyn_ref, wyd_ref, wznt_ref, wzdt_ref,
             grid_ref, od_ref, ogx_ref, ogy_ref, ogz_ref):
-    """One scenario.  Shapes (leading scenario axis already sliced):
-    wxs (2*SP, NP), wy* (SP, NP), wz*t (SP, nz), grid (nz, NP, NP),
-    o* (SP, 128) (value lane-broadcast; column 0 read outside)."""
+    """One scenario.  wxs (2*SP, NP), wy* (SP, NP), wz*t (SP, nz),
+    grid (NP, nz*NP), o* (SP, 128)."""
     wxs = wxs_ref[0]
-    wyn = wyn_ref[0]
-    wyd = wyd_ref[0]
+    wyn = wyn_ref[0][:, None, :]  # (SP, 1, NP)
+    wyd = wyd_ref[0][:, None, :]
     wznt = wznt_ref[0]  # (SP, nz)
     wzdt = wzdt_ref[0]
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (SP, nz), 1)
 
-    def body(z, carry):
-        d, gx, gy, gz = carry
-        slab = grid_ref[0, z]  # (NP, NP)
-        t1 = jnp.dot(
-            wxs, slab, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (2*SP, NP)
-        t1n = t1[:SP]
-        t1d = t1[SP:]
-        rn = jnp.sum(t1n * wyn, axis=1, keepdims=True)   # (SP, 1)
-        rdy = jnp.sum(t1n * wyd, axis=1, keepdims=True)
-        rdx = jnp.sum(t1d * wyn, axis=1, keepdims=True)
-        # column z of the wz tables via mask-reduce (dynamic lane slicing
-        # is not Mosaic-lowerable at unaligned offsets)
-        m = (kidx == z).astype(jnp.float32)
-        wzn_z = jnp.sum(wznt * m, axis=1, keepdims=True)  # (SP, 1)
-        wzd_z = jnp.sum(wzdt * m, axis=1, keepdims=True)
-        return (
-            d + wzn_z * rn,
-            gx + wzn_z * rdx,
-            gy + wzn_z * rdy,
-            gz + wzd_z * rn,
-        )
+    t1 = jnp.dot(
+        wxs, grid_ref[0], preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (2*SP, nz*NP)
+    t1 = t1.reshape(2 * SP, nz, NP)  # lane-preserving split
+    t1n = t1[:SP]
+    t1d = t1[SP:]
 
-    zero = jnp.zeros((SP, 1), jnp.float32)
-    d, gx, gy, gz = jax.lax.fori_loop(
-        0, nz, body, (zero, zero, zero, zero)
-    )
+    rn = jnp.sum(t1n * wyn, axis=2)    # (SP, nz)
+    rdy = jnp.sum(t1n * wyd, axis=2)
+    rdx = jnp.sum(t1d * wyn, axis=2)
+
+    d = jnp.sum(rn * wznt, axis=1, keepdims=True)    # (SP, 1)
+    gz = jnp.sum(rn * wzdt, axis=1, keepdims=True)
+    gy = jnp.sum(rdy * wznt, axis=1, keepdims=True)
+    gx = jnp.sum(rdx * wznt, axis=1, keepdims=True)
+
     od_ref[0] = jnp.broadcast_to(d, (SP, 128))
     ogx_ref[0] = jnp.broadcast_to(gx, (SP, 128))
     ogy_ref[0] = jnp.broadcast_to(gy, (SP, 128))
@@ -104,26 +98,32 @@ def _weights(i, frac, n, n_pad, dtype):
     return w_n, w_d
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def trilinear_fused_batch(grids, origin, resolution, pos,
-                          interpret: bool = False):
-    """Batched fused lookup.
+@functools.partial(
+    jax.jit, static_argnames=("grid_shape", "interpret", "precision")
+)
+def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
+                            interpret: bool = False,
+                            precision: str = "highest"):
+    """Batched fused lookup against pre-arranged grids (see prep_grids).
 
     Args:
-      grids: (B, nx, ny, nz) distance fields.
-      origin: (B, 3); resolution: (B,) or scalar.
-      pos: (B, S, 3) query positions (S <= 256).
+      gp: (B, NP, nz*NP) from :func:`prep_grids`.
+      grid_shape: static original (nx, ny, nz).
+      origin: (B, 3); resolution: (B,) or scalar; pos: (B, S, 3).
     Returns:
       d (B, S), g (B, S, 3) — same semantics as sdf.trilinear_mxu.
     """
-    B, nx, ny, nz = grids.shape
+    nx, ny, nz = grid_shape
+    B = gp.shape[0]
     S = pos.shape[1]
     dtype = pos.dtype
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), (B, 3))
     res = jnp.broadcast_to(jnp.asarray(resolution, dtype), (B,))
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest" else jax.lax.Precision.HIGH
+    )
 
-    # ---- weights (cheap elementwise, outside the kernel) ----
-    lo = origin[:, None, :] + res[:, None, None] * 1e-4 * 0  # see mask below
     pos_m = pos - 0.5 * res[:, None, None]
     idx = jnp.floor(
         (pos_m - origin[:, None, :]) / res[:, None, None]
@@ -134,16 +134,18 @@ def trilinear_fused_batch(grids, origin, resolution, pos,
     diff = (pos - idx_pos) / res[:, None, None]
 
     size = jnp.asarray([nx, ny, nz], dtype) * res[:, None]
-    in_lo = pos > (origin + 1e-4)[:, None, :]
-    in_hi = pos < (origin + size - 1e-4)[:, None, :]
-    ok = jnp.all(in_lo & in_hi, axis=-1)  # (B, S)
+    ok = jnp.all(
+        (pos > (origin + 1e-4)[:, None, :])
+        & (pos < (origin + size - 1e-4)[:, None, :]),
+        axis=-1,
+    )
 
     wx_n, wx_d = _weights(idx[..., 0], diff[..., 0], nx, NP, dtype)
     wy_n, wy_d = _weights(idx[..., 1], diff[..., 1], ny, NP, dtype)
     wz_n, wz_d = _weights(idx[..., 2], diff[..., 2], nz, nz, dtype)
     inv_res = (1.0 / res)[:, None, None]
 
-    def pad_s(a):  # pad sample axis to SP
+    def pad_s(a):
         return jnp.pad(a, ((0, 0), (0, SP - S)) + ((0, 0),) * (a.ndim - 2))
 
     wxs = jnp.concatenate(
@@ -151,16 +153,11 @@ def trilinear_fused_batch(grids, origin, resolution, pos,
     )  # (B, 2*SP, NP)
     wyn = pad_s(wy_n)
     wyd = pad_s(wy_d) * inv_res
-    wznt = pad_s(wz_n)  # (B, SP, nz)
+    wznt = pad_s(wz_n)
     wzdt = pad_s(wz_d) * inv_res
 
-    gp = jnp.pad(
-        jnp.transpose(grids, (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (0, NP - nx), (0, NP - ny)),
-    )  # (B, nz, NP, NP)
-
     out = pl.pallas_call(
-        functools.partial(_kernel, nz),
+        functools.partial(_kernel, nz, prec),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 2 * SP, NP), lambda i: (i, 0, 0),
@@ -173,7 +170,7 @@ def trilinear_fused_batch(grids, origin, resolution, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, nz), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nz, NP, NP), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, NP, nz * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -194,3 +191,13 @@ def trilinear_fused_batch(grids, origin, resolution, pos,
     d = jnp.where(ok, d, -1.0)
     g = jnp.where(ok[..., None], g, 0.0)
     return d, g
+
+
+def trilinear_fused_batch(grids, origin, resolution, pos,
+                          interpret: bool = False):
+    """Convenience wrapper: prep + lookup in one call (prefer prepping
+    once per solve via prep_grids + trilinear_fused_prepped)."""
+    gp = prep_grids(grids)
+    return trilinear_fused_prepped(
+        gp, grids.shape[1:], origin, resolution, pos, interpret=interpret
+    )

@@ -243,18 +243,24 @@ def build_ctx_batch(T_b, Df_b, cfg: OptimizerConfig) -> PenaltyCtx:
 
 
 def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
-                    interpret: bool = False):
-    """(B, S, 3) positions -> (d (B, S), g (B, S, 3))."""
+                    interpret: bool = False, gp=None):
+    """(B, S, 3) positions -> (d (B, S), g (B, S, 3)).
+
+    ``gp`` is the pre-arranged grid layout from
+    ops.trilinear_pallas.prep_grids (hoisted out of the iteration loop).
+    """
     from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
 
     mode = cfg.lookup_mode
     B, S = pos_flat.shape[:2]
     if mode == "fused" and tp.supports(grids.shape[1:], S):
-        if True:
-            return tp.trilinear_fused_batch(
-                grids, origin, resolution, pos_flat,
-                interpret=interpret or jax.default_backend() != "tpu",
-            )
+        interp = interpret or jax.default_backend() != "tpu"
+        if gp is None:
+            gp = tp.prep_grids(grids)
+        return tp.trilinear_fused_prepped(
+            gp, grids.shape[1:], origin, resolution, pos_flat,
+            interpret=interp,
+        )
     if jax.default_backend() == "tpu" and mode in ("auto", "mxu"):
         return jax.vmap(
             lambda g, o, r, p: sdf.trilinear_mxu(g, o, r, p)
@@ -271,7 +277,7 @@ def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
 
 def cost_and_grad_batch(dp, bctx: PenaltyCtx, grids, origin, resolution,
                         cfg: OptimizerConfig, step: int,
-                        interpret: bool = False):
+                        interpret: bool = False, gp=None):
     """Batch-first total cost + gradient.
 
     Args:
@@ -310,7 +316,8 @@ def cost_and_grad_batch(dp, bctx: PenaltyCtx, grids, origin, resolution,
     K = cfg.n_samples
     S = m * K
     d_s, g_s = _lookup_batched(
-        pos.reshape(B, S, 3), grids, origin, resolution, cfg, interpret
+        pos.reshape(B, S, 3), grids, origin, resolution, cfg, interpret,
+        gp=gp,
     )
     d_s = d_s.reshape(B, m, K)
     g_s = g_s.reshape(B, m, K, 3)

@@ -286,6 +286,15 @@ def solve_batch_fused(
     if grids.shape[0] == 1 and B > 1:
         grids = jnp.broadcast_to(grids, (B,) + grids.shape[1:])
 
+    # hoist the kernel grid-layout prep out of the iteration loop
+    gp = None
+    if cfg.lookup_mode in ("auto", "fused"):
+        from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+        m_seg = wp.shape[1] - 1
+        if tp.supports(grids.shape[1:], m_seg * cfg.n_samples):
+            gp = tp.prep_grids(grids)
+
     dp = dp0
     traces = []
     n_acc = jnp.zeros((B,), jnp.int32)
@@ -300,6 +309,7 @@ def solve_batch_fused(
             cfg=cfg,
             step=step,
             interpret=interpret,
+            gp=gp,
         )
         iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
         res = descent.minimize_batch(

@@ -161,7 +161,10 @@ def test_solve_batch_fused_matches_vmap_path():
     """Batch-first fused-kernel path (interpret mode on CPU) vs the
     vmapped reference path: same iterates within f32 noise."""
     map_cfg, obss, wp = _small_scene()
-    cfg = OptimizerConfig(iters_step1=4, iters_step2=10)
+    cfg = OptimizerConfig(
+        iters_step1=4, iters_step2=10, lookup_mode="fused"
+    )
+    cfg_ref = OptimizerConfig(iters_step1=4, iters_step2=10)
     scn = solve_mod.make_scenario(wp, obss, map_cfg)
     wps = np.stack([wp, wp + np.array([0.15, 0.0, 0.1])], axis=0)
     batch = solve_mod.Scenario(
@@ -171,7 +174,7 @@ def test_solve_batch_fused_matches_vmap_path():
         waypoints=jnp.asarray(wps, jnp.float32),
     )
     s_ref = solve_mod.solve_batch(
-        batch, cfg=cfg, steps=(1, 2), record_trace=False
+        batch, cfg=cfg_ref, steps=(1, 2), record_trace=False
     )
     s_fused = solve_mod.solve_batch_fused(
         batch, cfg=cfg, steps=(1, 2), record_trace=False, interpret=True

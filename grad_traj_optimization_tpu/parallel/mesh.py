@@ -86,3 +86,40 @@ def convergence_stats(solution):
         "mean_cost": jnp.mean(solution.cost),
         "mean_accept": jnp.mean(solution.n_accept.astype(jnp.float32)),
     }
+
+
+def sharded_solve_fused(scenarios, mesh: Mesh, cfg=None, steps=(2,),
+                        record_trace=False, interpret=False):
+    """Data-parallel batch-first solve with the fused Pallas lookup.
+
+    Wraps solver.solve_batch_fused in jax.shard_map over the "data" axis:
+    each device runs the fused kernel on its scenario shard (a Pallas
+    call cannot span devices, so explicit shard_map replaces the
+    jit-auto-partitioning used by :func:`sharded_solve`).
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    if cfg is None:
+        cfg = OptimizerConfig(lookup_mode="fused")
+    scenarios = shard_scenarios(scenarios, mesh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def run(scn):
+        return solve_mod.solve_batch_fused(
+            scn, cfg=cfg, steps=steps, record_trace=record_trace,
+            interpret=interpret,
+        )
+
+    return run(scenarios)

@@ -74,3 +74,21 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_fused_solve_matches_unsharded():
+    cfg = OptimizerConfig(
+        iters_step1=3, iters_step2=5, lookup_mode="fused"
+    )
+    scns = _tiny_batch(16)
+    m = pmesh.make_mesh(n_data=8, n_space=1)
+    sols_sh = pmesh.sharded_solve_fused(
+        scns, m, cfg=cfg, steps=(2,), interpret=True
+    )
+    sols_loc = solve_mod.solve_batch_fused(
+        scns, cfg=cfg, steps=(2,), record_trace=False, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sols_sh.coeff), np.asarray(sols_loc.coeff),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -33,57 +33,95 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: padded sample capacity per scenario (samples on sublanes)
-SP = 192
+SP = 184
 #: padded x/y extents (MXU tile)
 NP = 128
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_zc(nz: int) -> int:
+    """z-cells per in-kernel chunk: prefer large chunks, avoid padding."""
+    best, best_pad = 8, _round_up(nz, 8) - nz
+    for zc in (8, 7, 6, 5, 4):
+        pad = _round_up(nz, zc) - nz
+        if pad < best_pad:
+            best, best_pad = zc, pad
+    return best
+
+
 def supports(grid_shape, n_samples: int) -> bool:
     nx, ny, nz = grid_shape
-    # t1 VMEM: 2*SP * nz*128 * 4B; keep under ~8 MB
-    return nx <= NP and ny <= NP and n_samples <= SP and nz * NP * 2 * SP * 4 <= (8 << 20)
+    # grid block (NP x nzp*NP) is the dominant VMEM tenant (x2 pipelining)
+    nzp = _round_up(nz, _pick_zc(nz))
+    return (
+        nx <= NP and ny <= NP and n_samples <= SP
+        and nzp * NP * NP * 4 * 2 <= (8 << 20)
+    )
 
 
 def prep_grids(grids):
     """Arrange (B, nx, ny, nz) grids into the kernel layout
-    (B, NP, nz*NP) with column c = z * NP + y.  Call once per solve."""
+    (B, NP, nzp*NP) with column c = z * NP + y and z padded to a
+    multiple of the chunk size.  Call once per solve."""
     B, nx, ny, nz = grids.shape
+    nzp = _round_up(nz, _pick_zc(nz))
     g = jnp.transpose(grids, (0, 1, 3, 2))  # (B, nx, nz, ny)
-    g = jnp.pad(g, ((0, 0), (0, NP - nx), (0, 0), (0, NP - ny)))
-    return g.reshape(B, NP, nz * NP)
+    g = jnp.pad(
+        g, ((0, 0), (0, NP - nx), (0, nzp - nz), (0, NP - ny))
+    )
+    return g.reshape(B, NP, nzp * NP)
 
 
-def _kernel(nz: int, prec, wxs_ref, wyn_ref, wyd_ref, wznt_ref, wzdt_ref,
-            grid_ref, od_ref, ogx_ref, ogy_ref, ogz_ref):
-    """One scenario.  wxs (2*SP, NP), wy* (SP, NP), wz*t (SP, nz),
-    grid (NP, nz*NP), o* (SP, 128)."""
-    wxs = wxs_ref[0]
+def _kernel(nzp: int, zc: int, prec, wxn_ref, wxd_ref, wyn_ref,
+            wyd_ref, wznt_ref, wzdt_ref, grid_ref, o_ref):
+    """One scenario.  wx*/wy* (SP, NP), wz*t (SP, nzp), grid
+    (NP, nzp*NP), o* (SP, 128).  The contraction runs in static z-chunks
+    of ZC cells (1024 lanes) so only one small (SP, ZC*NP) intermediate
+    is ever live — keeps the Mosaic stack within VMEM."""
     wyn = wyn_ref[0][:, None, :]  # (SP, 1, NP)
     wyd = wyd_ref[0][:, None, :]
-    wznt = wznt_ref[0]  # (SP, nz)
+    wznt = wznt_ref[0]  # (SP, nzp)
     wzdt = wzdt_ref[0]
+    wxn = wxn_ref[0]
+    wxd = wxd_ref[0]
 
-    t1 = jnp.dot(
-        wxs, grid_ref[0], preferred_element_type=jnp.float32,
-        precision=prec,
-    )  # (2*SP, nz*NP)
-    t1 = t1.reshape(2 * SP, nz, NP)  # lane-preserving split
-    t1n = t1[:SP]
-    t1d = t1[SP:]
+    rn_parts, rdy_parts, rdx_parts = [], [], []
+    for zb in range(nzp // zc):
+        Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
+        t1n = jnp.dot(
+            wxn, Gb, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(SP, zc, NP)
+        rn_parts.append(jnp.sum(t1n * wyn, axis=2))    # (SP, zc)
+        rdy_parts.append(jnp.sum(t1n * wyd, axis=2))
+        t1d = jnp.dot(
+            wxd, Gb, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(SP, zc, NP)
+        rdx_parts.append(jnp.sum(t1d * wyn, axis=2))
 
-    rn = jnp.sum(t1n * wyn, axis=2)    # (SP, nz)
-    rdy = jnp.sum(t1n * wyd, axis=2)
-    rdx = jnp.sum(t1d * wyn, axis=2)
+    rn = jnp.concatenate(rn_parts, axis=1)   # (SP, nzp)
+    rdy = jnp.concatenate(rdy_parts, axis=1)
+    rdx = jnp.concatenate(rdx_parts, axis=1)
 
     d = jnp.sum(rn * wznt, axis=1, keepdims=True)    # (SP, 1)
     gz = jnp.sum(rn * wzdt, axis=1, keepdims=True)
     gy = jnp.sum(rdy * wznt, axis=1, keepdims=True)
     gx = jnp.sum(rdx * wznt, axis=1, keepdims=True)
 
-    od_ref[0] = jnp.broadcast_to(d, (SP, 128))
-    ogx_ref[0] = jnp.broadcast_to(gx, (SP, 128))
-    ogy_ref[0] = jnp.broadcast_to(gy, (SP, 128))
-    ogz_ref[0] = jnp.broadcast_to(gz, (SP, 128))
+    # one combined output: lanes [0:32)=d, [32:64)=gx, [64:96)=gy,
+    # [96:128)=gz (32-lane broadcast groups; column 0 of each group read
+    # outside)
+    o_ref[0] = jnp.concatenate(
+        [
+            jnp.broadcast_to(d, (SP, 32)),
+            jnp.broadcast_to(gx, (SP, 32)),
+            jnp.broadcast_to(gy, (SP, 32)),
+            jnp.broadcast_to(gz, (SP, 32)),
+        ],
+        axis=1,
+    )
 
 
 def _weights(i, frac, n, n_pad, dtype):
@@ -140,54 +178,52 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
         axis=-1,
     )
 
+    zc = _pick_zc(nz)
+    nzp = _round_up(nz, zc)
     wx_n, wx_d = _weights(idx[..., 0], diff[..., 0], nx, NP, dtype)
     wy_n, wy_d = _weights(idx[..., 1], diff[..., 1], ny, NP, dtype)
-    wz_n, wz_d = _weights(idx[..., 2], diff[..., 2], nz, nz, dtype)
+    wz_n, wz_d = _weights(idx[..., 2], diff[..., 2], nz, nzp, dtype)
     inv_res = (1.0 / res)[:, None, None]
 
     def pad_s(a):
         return jnp.pad(a, ((0, 0), (0, SP - S)) + ((0, 0),) * (a.ndim - 2))
 
-    wxs = jnp.concatenate(
-        [pad_s(wx_n), pad_s(wx_d) * inv_res], axis=1
-    )  # (B, 2*SP, NP)
+    wxn = pad_s(wx_n)  # (B, SP, NP)
+    wxd = pad_s(wx_d) * inv_res
     wyn = pad_s(wy_n)
     wyd = pad_s(wy_d) * inv_res
     wznt = pad_s(wz_n)
     wzdt = pad_s(wz_d) * inv_res
 
     out = pl.pallas_call(
-        functools.partial(_kernel, nz, prec),
+        functools.partial(_kernel, nzp, zc, prec),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2 * SP, NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nz), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nz), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NP, nz * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, NP, nzp * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, SP, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, SP, 128), jnp.float32)
-            for _ in range(4)
-        ],
+        out_specs=pl.BlockSpec((1, SP, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, SP, 128), jnp.float32),
         interpret=interpret,
-    )(wxs, wyn, wyd, wznt, wzdt, gp)
+    )(wxn, wxd, wyn, wyd, wznt, wzdt, gp)
 
-    od, ogx, ogy, ogz = out
-    d = od[:, :S, 0]
-    g = jnp.stack([ogx[:, :S, 0], ogy[:, :S, 0], ogz[:, :S, 0]], axis=-1)
+    d = out[:, :S, 0]
+    g = jnp.stack(
+        [out[:, :S, 32], out[:, :S, 64], out[:, :S, 96]], axis=-1
+    )
     d = jnp.where(ok, d, -1.0)
     g = jnp.where(ok[..., None], g, 0.0)
     return d, g

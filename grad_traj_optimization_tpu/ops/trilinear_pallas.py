@@ -6,13 +6,14 @@ per element (element-wise lowering), and the dense separable contraction
 (sdf.trilinear_mxu) round-trips a (samples, ny, nz) intermediate through
 HBM every iteration (~4 GB per evaluation at batch 1024).
 
-This kernel fuses the whole separable contraction per scenario in VMEM:
+This kernel fuses the whole separable contraction per scenario in VMEM,
+processing the grid in static z-chunks to bound the Mosaic stack:
 
-    t1 = [wx_n; wx_d] @ G                  one MXU matmul, G arranged
-                                           (nx, nz*128) with y on lanes
-    t1 -> (2S, nz, 128)                    lane-preserving reshape
-    rn/rdy/rdx = lane reductions against wy_n / wy_d        (VPU)
-    d/gx/gy/gz = z reductions against wz_n / wz_d           (VPU)
+    for each z-chunk (ZC cells = ZC*128 lanes) of G (nx, nzp*128):
+        t1   = wx_n @ Gb, wx_d @ Gb         (MXU, lane-preserving reshape
+                                             to (S, ZC, 128))
+        rn/rdy/rdx chunk columns = lane reductions vs wy_n / wy_d  (VPU)
+    d/gx/gy/gz = z reductions against wz_n / wz_d                  (VPU)
 
 HBM traffic per evaluation is one read of the padded grid plus small
 weight tensors — no materialized intermediate.  The grid layout prep

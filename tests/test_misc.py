@@ -102,3 +102,16 @@ def test_viz_export(tmp_path):
     assert len(data["segment_times"]) == 2
     assert data["occupied"].shape[1] == 3
     assert np.isfinite(data["cost_trace"]).all()
+
+
+def test_graft_entry_compiles():
+    """The driver compile-checks entry() — keep it importable and jittable
+    (guards against internal API renames breaking the entry point)."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert int(out.status) == 0

@@ -115,3 +115,20 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert int(out.status) == 0
+
+
+def test_profiling_helpers():
+    from grad_traj_optimization_tpu.utils import profiling
+
+    sw = profiling.Stopwatch()
+    with sw.section("a"):
+        sum(range(1000))
+    with sw.section("a"):
+        sum(range(1000))
+    rep = sw.report()
+    assert rep["a"]["count"] == 2 and rep["a"]["total_s"] >= 0
+
+    import jax.numpy as jnp
+
+    r, t = profiling.sync_time(lambda x: x * 2, jnp.ones((8, 8)), n=2)
+    assert t >= 0 and float(r[0, 0]) == 2.0

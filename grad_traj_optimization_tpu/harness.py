@@ -137,3 +137,33 @@ def summarize(records):
             np.mean([r.traj_time_s for r in records])
         ),
     }
+
+
+def write_compare2_logs(records, front_path: str, back_path: str):
+    """Emit reference-format benchmark logs for drop-in comparison.
+
+    Replicates the exact line formats of compare2.cpp:
+      front2.txt (:215-231):
+        ``test2:<n>solve_time:<s>,traj_time:<s>,acc_cost:<c>``
+      back2.txt (:296-321):
+        ``test2:<n>,jerk:<j>,time:<t0>;<t1>;...,cost:<c0>;<c1>;...``
+    where the cost curve is the monotone best-cost envelope per iteration
+    (the reference records per-NLopt-callback wall times; here the time
+    axis is the iteration index scaled by the mean per-iteration time).
+    """
+    with open(front_path, "a") as f:
+        for r in records:
+            f.write(
+                f"test2:{r.case_id + 1}solve_time:{r.frontend_time_s}"
+                f",traj_time:{r.traj_time_s},acc_cost:{r.acc_cost}\n"
+            )
+    with open(back_path, "a") as f:
+        for r in records:
+            n = max(len(r.cost_curve), 1)
+            dt = r.backend_time_s / n
+            times = ";".join(str((i + 1) * dt) for i in range(n))
+            costs = ";".join(str(float(c)) for c in r.cost_curve)
+            f.write(
+                f"test2:{r.case_id + 1},jerk:{r.jerk}"
+                f",time:{times},cost:{costs}\n"
+            )

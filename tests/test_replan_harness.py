@@ -89,3 +89,23 @@ def test_harness_suite_and_summary(tmp_path):
     assert s["n_ok"] == 2
     lines = out.read_text().strip().splitlines()
     assert len(lines) == 2
+
+
+def test_compare2_log_format(tmp_path):
+    dist, origin, res = _wall_map()
+    cfg = OptimizerConfig(iters_step2=10)
+    records = harness.run_suite(
+        [(dist, origin, res, [0, -3, 2], [0, 3, 2])], cfg=cfg
+    )
+    front = tmp_path / "front2.txt"
+    back = tmp_path / "back2.txt"
+    harness.write_compare2_logs(records, str(front), str(back))
+    fl = front.read_text().strip()
+    assert fl.startswith("test2:1solve_time:")
+    assert ",traj_time:" in fl and ",acc_cost:" in fl
+    bl = back.read_text().strip()
+    assert bl.startswith("test2:1,jerk:")
+    assert ",time:" in bl and ",cost:" in bl
+    # cost curve is semicolon-separated and monotone
+    costs = [float(x) for x in bl.split(",cost:")[1].split(";")]
+    assert all(b <= a + 1e-6 for a, b in zip(costs, costs[1:]))

@@ -225,10 +225,12 @@ def jerk_cost(coeff, T):
     """Integrated squared jerk, exact quadratic form per segment.
 
     Reference: polynomial_traj.hpp:108-138 builds mat_jerk with entries
-    i(i-1)(i-2) j(j-1)(j-2) T^(i+j-5)/(i+j-5) — the **jerk** Gram matrix,
-    identical in form to the snap Hessian but integrating jerk^2.  Note the
-    reference divides by (i+j-5) whereas its snap Hessian multiplies the
-    same combinatorial factor; here we build the jerk Gram matrix directly.
+    i(i-1)(i-2) j(j-1)(j-2) T^(i+j-5)/(i+j-5) — the jerk Gram matrix
+    (integral of jerk^2 over the segment).  Note this is the same formula
+    the reference uses for its "minimum snap" QP Hessian
+    (qp_generator.cpp:99-110): despite the naming, the reference actually
+    minimizes integrated JERK, and so does core.poly.KSNAP — replicated
+    deliberately for parity.
     """
     T = jnp.asarray(T)
     coeff = jnp.asarray(coeff, dtype=T.dtype)

@@ -81,9 +81,22 @@ class OptimizerConfig:
 
     # --- distance-field lookup mode ---
     # "elem"/"row": gather-based (fine on CPU); "mxu": dense separable
-    # contraction (TPU: gathers are ~35 ns/element scalar ops, the MXU
-    # form is ~6x faster end-to-end); "auto" picks mxu on TPU.
+    # contraction (TPU: gathers are ~35 ns/element scalar ops); "fused":
+    # the Pallas kernel (grid slab resident in VMEM, no HBM intermediate).
+    # "auto" on TPU picks fused where the kernel supports the shape
+    # (measured 1.53x over mxu at B=1024, bitwise-identical solutions),
+    # falling back to mxu.
     lookup_mode: str = "auto"
+
+    # --- matmul precision for the dense lookup contractions ---
+    # "highest": f32 accumulation (6 bf16 passes on TPU MXU) — the
+    #   default.  "high" (bf16x3) measured only 1.16x faster end-to-end
+    #   on the mxu path and FAILS the 1e-3 m parity budget (p99
+    #   positional deviation 0.61 m at B=1024: descent accept/reject
+    #   decisions amplify lookup noise into basin changes) — kept for
+    #   experiments only; the fused kernel rejects it (no Mosaic HIGH
+    #   dot support).
+    lookup_precision: str = "highest"
 
     # --- gradient formula ---
     # "reference": replicate grad_traj_optimizer.cpp:376-381 exactly,
@@ -100,6 +113,10 @@ class OptimizerConfig:
     def __post_init__(self):
         if self.gradient_mode not in ("reference", "exact"):
             raise ValueError(f"bad gradient_mode: {self.gradient_mode}")
+        if self.lookup_precision not in ("highest", "high"):
+            raise ValueError(
+                f"bad lookup_precision: {self.lookup_precision}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

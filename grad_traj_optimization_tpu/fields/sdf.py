@@ -31,6 +31,8 @@ Semantics replicated from the reference:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -389,7 +391,7 @@ def distance_and_gradient(dist, origin, resolution, pos):
     )
 
 
-def trilinear_mxu(grid, origin, resolution, pos):
+def trilinear_mxu(grid, origin, resolution, pos, precision: str = "highest"):
     """Trilinear distance + gradient as dense MXU contractions (no gather).
 
     TPU XLA lowers gathers element-by-element (~35 ns each), which makes
@@ -410,6 +412,8 @@ def trilinear_mxu(grid, origin, resolution, pos):
     Args:
       grid: (nx, ny, nz) distance field (ONE scenario; vmap for batches).
       pos: (S, 3) query positions.
+      precision: "highest" (f32 accumulation) or "high" (bf16x3 MXU
+        passes — faster, parity-validate on chip before use).
     Returns:
       d: (S,), g: (S, 3).
     """
@@ -441,16 +445,22 @@ def trilinear_mxu(grid, origin, resolution, pos):
     wy_n, wy_d = weights(idx[:, 1], diff[:, 1], ny)
     wz_n, wz_d = weights(idx[:, 2], diff[:, 2], nz)
 
-    # axis-by-axis contraction (f32 accumulation on the MXU)
-    t1n = _einsum_hi("sx,xyz->syz", wx_n, grid)
-    t1d = _einsum_hi("sx,xyz->syz", wx_d, grid)
-    t2nn = _einsum_hi("sy,syz->sz", wy_n, t1n)
-    t2nd = _einsum_hi("sy,syz->sz", wy_d, t1n)
-    t2dn = _einsum_hi("sy,syz->sz", wy_n, t1d)
-    d = _einsum_hi("sz,sz->s", wz_n, t2nn)
-    gz = _einsum_hi("sz,sz->s", wz_d, t2nn)
-    gy = _einsum_hi("sz,sz->s", wz_n, t2nd)
-    gx = _einsum_hi("sz,sz->s", wz_n, t2dn)
+    # axis-by-axis contraction (f32 or bf16x3 accumulation on the MXU)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.HIGH
+    )
+    ein = functools.partial(jnp.einsum, precision=prec)
+    t1n = ein("sx,xyz->syz", wx_n, grid)
+    t1d = ein("sx,xyz->syz", wx_d, grid)
+    t2nn = ein("sy,syz->sz", wy_n, t1n)
+    t2nd = ein("sy,syz->sz", wy_d, t1n)
+    t2dn = ein("sy,syz->sz", wy_n, t1d)
+    d = ein("sz,sz->s", wz_n, t2nn)
+    gz = ein("sz,sz->s", wz_d, t2nn)
+    gy = ein("sz,sz->s", wz_n, t2nd)
+    gx = ein("sz,sz->s", wz_n, t2dn)
 
     g = jnp.stack([gx, gy, gz], axis=-1)
     d = jnp.where(ok, d, -1.0)

@@ -158,10 +158,16 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     dtype = pos.dtype
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), (B, 3))
     res = jnp.broadcast_to(jnp.asarray(resolution, dtype), (B,))
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest" else jax.lax.Precision.HIGH
-    )
+    if precision != "highest":
+        # Mosaic's dot lowering supports DEFAULT and HIGHEST only
+        # (NotImplementedError "Unsupported dot precision: HIGH" on chip);
+        # reduced precision also fails the 1e-3 parity budget (measured
+        # p99 positional deviation 0.61 m on the mxu path) — callers must
+        # stay on sdf.trilinear_mxu for experiments with it.
+        raise NotImplementedError(
+            "fused lookup kernel supports precision='highest' only"
+        )
+    prec = jax.lax.Precision.HIGHEST
 
     pos_m = pos - 0.5 * res[:, None, None]
     idx = jnp.floor(

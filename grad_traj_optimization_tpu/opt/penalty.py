@@ -145,7 +145,8 @@ def _collision_terms(pos, vel, field: Field, grid_shape,
         )
     if mode == "mxu" and field.grid is not None:
         d, g = sdf.trilinear_mxu(
-            field.grid, field.origin, field.resolution, pos
+            field.grid, field.origin, field.resolution, pos,
+            precision=cfg.lookup_precision,
         )
     else:
         d, g = sdf.trilinear_flat(
@@ -253,7 +254,19 @@ def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
 
     mode = cfg.lookup_mode
     B, S = pos_flat.shape[:2]
-    if mode == "fused" and tp.supports(grids.shape[1:], S):
+    # "auto" takes the fused kernel on real TPUs (measured 1.53x over the
+    # mxu contraction at B=1024, bitwise-identical solutions); "fused"
+    # forces it (interpret mode off-TPU).  Mosaic has no HIGH dot
+    # precision, so reduced-precision runs stay on the mxu path.
+    use_fused = (
+        tp.supports(grids.shape[1:], S)
+        and cfg.lookup_precision == "highest"
+        and (
+            mode == "fused"
+            or (mode == "auto" and jax.default_backend() == "tpu")
+        )
+    )
+    if use_fused:
         interp = interpret or jax.default_backend() != "tpu"
         if gp is None:
             gp = tp.prep_grids(grids)
@@ -263,7 +276,9 @@ def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
         )
     if jax.default_backend() == "tpu" and mode in ("auto", "mxu"):
         return jax.vmap(
-            lambda g, o, r, p: sdf.trilinear_mxu(g, o, r, p)
+            lambda g, o, r, p: sdf.trilinear_mxu(
+                g, o, r, p, precision=cfg.lookup_precision
+            )
         )(grids, origin, resolution, pos_flat)
     flat = grids.reshape(-1)
     nvox = grids.shape[1] * grids.shape[2] * grids.shape[3]

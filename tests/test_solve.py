@@ -219,3 +219,70 @@ def test_text_input_fixture_runs_two_step():
     pos2, _ = poly.sample_uniform(sol2.coeff, sol2.T, 300)
     d2 = sdf.distance_at(scn.dist, scn.origin, scn.resolution, pos2)
     assert float(jnp.min(d2)) > 0.15
+
+
+def test_crop_scenarios_matches_full_grid():
+    """Per-scenario grid cropping (lookup FLOP saver) preserves solution
+    QUALITY.  Exact trajectory parity is not expected: the shifted origin
+    perturbs lookups at f32 epsilon and the descent's accept/reject
+    sequence can amplify that into a different (equal-quality) local
+    minimum — see crop_scenarios's docstring."""
+    map_cfg, pts, valid, wps = fixtures.random_scenarios(
+        6, n_waypoints=5, seed=7, max_obstacle_points=1024
+    )
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    res = map_cfg.resolution
+    occ = jax.vmap(
+        lambda p, v: sdf.rasterize(
+            p, origin, res, map_cfg.grid_shape, valid_mask=v
+        )
+    )(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
+    dist = sdf.edt_batch(occ, res)
+    B = wps.shape[0]
+    batch = solve_mod.Scenario(
+        dist=dist,
+        origin=jnp.broadcast_to(origin, (B, 3)),
+        resolution=jnp.full((B,), res, jnp.float32),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    cfg = _small_cfg()
+    cropped = solve_mod.crop_scenarios(batch, cfg)
+    assert cropped.dist.shape[1:] != batch.dist.shape[1:]
+    assert np.prod(cropped.dist.shape[1:]) < np.prod(batch.dist.shape[1:])
+
+    # the crop window must cover waypoints +- (bos + margin), clipped to
+    # the map bounds
+    res = float(np.asarray(cropped.resolution)[0])
+    lo = np.asarray(cropped.origin)
+    hi = lo + np.asarray(cropped.dist.shape[1:]) * res
+    map_lo = np.asarray(batch.origin)
+    map_hi = map_lo + np.asarray(batch.dist.shape[1:]) * res
+    want_lo = np.maximum(
+        np.asarray(wps).min(1) - cfg.bos - 2.0, map_lo
+    )
+    want_hi = np.minimum(
+        np.asarray(wps).max(1) + cfg.bos + 2.0, map_hi
+    )
+    assert np.all(lo <= want_lo + res)
+    assert np.all(hi >= want_hi - res)
+
+    s_full = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
+    s_crop = solve_mod.solve_batch(cropped, cfg=cfg, steps=(2,))
+    assert np.all(np.asarray(s_crop.status) == solve_mod.STATUS_OK)
+    # equal-quality solutions: per-scenario cost within 10%, and the
+    # batch means agree tightly
+    cf = np.asarray(s_full.cost)
+    cc = np.asarray(s_crop.cost)
+    assert np.all(cc < 1.10 * cf + 1e-6)
+    assert abs(cc.mean() - cf.mean()) < 0.05 * cf.mean()
+    # cropped trajectories keep the same clearance against the FULL grid
+    for b in range(B):
+        p2, _ = poly.sample_uniform(s_crop.coeff[b], s_crop.T[b], 200)
+        d_full = sdf.distance_at(
+            batch.dist[b], batch.origin[b], batch.resolution[b], p2
+        )
+        p1, _ = poly.sample_uniform(s_full.coeff[b], s_full.T[b], 200)
+        d_ref = sdf.distance_at(
+            batch.dist[b], batch.origin[b], batch.resolution[b], p1
+        )
+        assert float(jnp.min(d_full)) > float(jnp.min(d_ref)) - 0.25

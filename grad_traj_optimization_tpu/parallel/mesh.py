@@ -52,6 +52,26 @@ def shard_scenarios(scenarios, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), scenarios)
 
 
+def global_scenarios(local_scenarios, mesh: Mesh):
+    """Assemble a GLOBAL Scenario batch from per-process local shards.
+
+    Multi-host entry point: each process passes the rows of the batch it
+    owns (its slice along the leading axis, in process order) as host
+    arrays; the result is a global jax.Array sharded over the mesh's
+    "data" axis, usable with :func:`sharded_solve` exactly like a
+    single-host batch.  (The reference has no distributed story at all —
+    SURVEY.md §2; this is the jax.distributed replacement for its ROS
+    pub/sub scatter of work.)
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        local_scenarios,
+    )
+
+
 def sharded_solve(scenarios, mesh: Mesh, cfg=None, steps=(2,),
                   record_trace=False):
     """Data-parallel batched solve over the mesh.

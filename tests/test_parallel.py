@@ -92,3 +92,71 @@ def test_sharded_fused_solve_matches_unsharded():
         np.asarray(sols_sh.coeff), np.asarray(sols_loc.coeff),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_multiprocess_distributed_solve():
+    """True multi-process bring-up: 2 worker processes x 4 virtual CPU
+    devices each run jax.distributed + mesh.global_scenarios +
+    sharded_solve on a global batch; the globally-reduced stats must
+    match a single-process solve of the same problem."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "scripts", "multihost_worker.py")
+    env = {
+        k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
+    }  # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    result_lines = [
+        ln for ln in outs[0].splitlines() if ln.startswith("RESULT ")
+    ]
+    assert result_lines, outs[0][-3000:]
+    stats = json.loads(result_lines[0][len("RESULT "):])
+    assert stats["n_devices"] == 8
+    assert stats["n_ok"] == 8.0
+
+    # single-process reference on the identical global problem
+    from grad_traj_optimization_tpu import fixtures
+
+    map_cfg, pts, valid, wps = fixtures.random_scenarios(
+        8, n_waypoints=5, seed=11, max_obstacle_points=1024
+    )
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    res = map_cfg.resolution
+    occ = jax.vmap(
+        lambda p, v: sdf.rasterize(
+            p, origin, res, map_cfg.grid_shape, valid_mask=v
+        )
+    )(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
+    dist = sdf.edt_batch(occ, res)
+    batch = solve_mod.Scenario(
+        dist=dist,
+        origin=jnp.broadcast_to(origin, (8, 3)),
+        resolution=jnp.full((8,), res, jnp.float32),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    cfg = OptimizerConfig(iters_step1=5, iters_step2=15)
+    sols = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
+    ref_mean = float(jnp.mean(sols.cost))
+    assert abs(stats["mean_cost"] - ref_mean) < 1e-3 * abs(ref_mean)

@@ -10,10 +10,15 @@ This kernel fuses the whole separable contraction per scenario in VMEM,
 processing the grid in static z-chunks to bound the Mosaic stack:
 
     for each z-chunk (ZC cells = ZC*128 lanes) of G (nx, nzp*128):
-        t1   = wx_n @ Gb, wx_d @ Gb         (MXU, lane-preserving reshape
-                                             to (S, ZC, 128))
-        rn/rdy/rdx chunk columns = lane reductions vs wy_n / wy_d  (VPU)
+        X    = [h0x; h1x] @ Gb              (ONE stacked MXU dot; the
+                                             x-corner rows of the chunk)
+        r{0,1}{n,d} chunk columns = lane reductions of X0/X1 vs wy_n/wy_d
+    rn/rdy/rdx = x-fraction blends of the reduced columns          (VPU)
     d/gx/gy/gz = z reductions against wz_n / wz_d                  (VPU)
+
+Stacking both x-corner row sets into one dot matters: the MXU streams M
+in 128-row tiles, so two separate 184-row dots each pad to 256 rows
+(28% waste) while one 368-row dot pads to 384 (4%).
 
 HBM traffic per evaluation is one read of the padded grid plus small
 weight tensors — no materialized intermediate.  The grid layout prep
@@ -55,61 +60,94 @@ def _pick_zc(nz: int) -> int:
 
 def supports(grid_shape, n_samples: int) -> bool:
     nx, ny, nz = grid_shape
-    # grid block (NP x nzp*NP) is the dominant VMEM tenant (x2 pipelining)
+    # grid block (3*NP x nzp*NP bf16) is the dominant VMEM tenant
+    # (x2 pipelining)
     nzp = _round_up(nz, _pick_zc(nz))
     return (
         nx <= NP and ny <= NP and n_samples <= SP
-        and nzp * NP * NP * 4 * 2 <= (8 << 20)
+        and 3 * NP * nzp * NP * 2 * 2 <= (8 << 20)
     )
 
 
 def prep_grids(grids):
-    """Arrange (B, nx, ny, nz) grids into the kernel layout
-    (B, NP, nzp*NP) with column c = z * NP + y and z padded to a
-    multiple of the chunk size.  Call once per solve."""
+    """Arrange (B, nx, ny, nz) grids into the kernel layout: column
+    c = z * NP + y, z padded to a multiple of the chunk size, and the
+    f32 values split into THREE stacked bf16 planes (hi, mid, lo) along
+    the x/contraction axis -> (B, 3*NP, nzp*NP) bf16.  Call once per
+    solve.
+
+    Why bf16 triples: the kernel's x contraction is a one-hot SELECTION,
+    so every MXU product is exact — the only error is representing the
+    f32 grid value, and hi + mid + lo recovers it to ~2^-27 relative.
+    A DEFAULT-precision bf16 dot over the 3x-stacked contraction axis
+    costs 3 MXU passes where a HIGHEST f32 dot costs 6 — 2x on the op
+    that dominates the whole solve."""
     B, nx, ny, nz = grids.shape
     nzp = _round_up(nz, _pick_zc(nz))
     g = jnp.transpose(grids, (0, 1, 3, 2))  # (B, nx, nz, ny)
     g = jnp.pad(
         g, ((0, 0), (0, NP - nx), (0, nzp - nz), (0, NP - ny))
-    )
-    return g.reshape(B, NP, nzp * NP)
+    ).reshape(B, NP, nzp * NP)
+    hi = g.astype(jnp.bfloat16)
+    r1 = g - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=1)  # (B, 3*NP, nzp*NP)
 
 
-def _kernel(nzp: int, zc: int, prec, wxn_ref, wxd_ref, wyn_ref,
-            wyd_ref, wznt_ref, wzdt_ref, grid_ref, o_ref):
-    """One scenario.  wx*/wy* (SP, NP), wz*t (SP, nzp), grid
-    (NP, nzp*NP), o* (SP, 128).  The contraction runs in static z-chunks
-    of ZC cells (1024 lanes) so only one small (SP, ZC*NP) intermediate
-    is ever live — keeps the Mosaic stack within VMEM."""
+def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
+            wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
+    """One scenario.  wx01 (2*SP, 3*NP) stacks the x-corner one-hot rows
+    [h0; h1], tiled 3x along the contraction axis to sum the grid's
+    bf16 (hi, mid, lo) planes (see prep_grids); fx (SP, NP) broadcasts
+    the x interpolation fraction; wy* (SP, NP); wz*t (SP, nzp) with
+    wzntx = wznt/res for the gx output; grid (3*NP, nzp*NP) bf16;
+    o (SP, 128).
+
+    The x contraction is ONE stacked bf16 matmul per z-chunk at DEFAULT
+    precision (every product is an exact one-hot selection, f32
+    accumulation; 3 MXU passes vs 6 for a HIGHEST f32 dot).  Stacking
+    both corner row sets also avoids M-tile padding waste (2 x 184 ->
+    2 x 256 rows vs 368 -> 384).  X0/X1 are y-reduced immediately; the
+    x-fraction blend happens on the reduced (SP, nzp) columns (blend and
+    reduction commute), keeping the per-chunk VMEM stack to X alone."""
     wyn = wyn_ref[0][:, None, :]  # (SP, 1, NP)
     wyd = wyd_ref[0][:, None, :]
     wznt = wznt_ref[0]  # (SP, nzp)
     wzdt = wzdt_ref[0]
-    wxn = wxn_ref[0]
-    wxd = wxd_ref[0]
+    wzntx = wzntx_ref[0]
+    wx01 = wx01_ref[0]  # (2*SP, NP)
 
-    rn_parts, rdy_parts, rdx_parts = [], [], []
+    # y-reduce the two x-corner row products FIRST, then blend with the
+    # x fraction on the tiny (SP, nzp) results: avoids ever materializing
+    # a blended (SP, zc, NP) tensor next to X, which overflows the
+    # Mosaic VMEM stack (x-blend and y-reduction commute — both linear).
+    r0n_p, r1n_p, r0d_p, r1d_p = [], [], [], []
     for zb in range(nzp // zc):
         Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
-        t1n = jnp.dot(
-            wxn, Gb, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(SP, zc, NP)
-        rn_parts.append(jnp.sum(t1n * wyn, axis=2))    # (SP, zc)
-        rdy_parts.append(jnp.sum(t1n * wyd, axis=2))
-        t1d = jnp.dot(
-            wxd, Gb, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(SP, zc, NP)
-        rdx_parts.append(jnp.sum(t1d * wyn, axis=2))
+        X = jnp.dot(
+            wx01, Gb, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(2, SP, zc, NP)
+        x0, x1 = X[0], X[1]
+        r0n_p.append(jnp.sum(x0 * wyn, axis=2))    # (SP, zc)
+        r1n_p.append(jnp.sum(x1 * wyn, axis=2))
+        r0d_p.append(jnp.sum(x0 * wyd, axis=2))
+        r1d_p.append(jnp.sum(x1 * wyd, axis=2))
 
-    rn = jnp.concatenate(rn_parts, axis=1)   # (SP, nzp)
-    rdy = jnp.concatenate(rdy_parts, axis=1)
-    rdx = jnp.concatenate(rdx_parts, axis=1)
+    r0n = jnp.concatenate(r0n_p, axis=1)   # (SP, nzp)
+    r1n = jnp.concatenate(r1n_p, axis=1)
+    r0d = jnp.concatenate(r0d_p, axis=1)
+    r1d = jnp.concatenate(r1d_p, axis=1)
+
+    fz = fx_ref[0][:, :nzp]  # x fraction, same value in every lane
+    rn = (1.0 - fz) * r0n + fz * r1n
+    rdy = (1.0 - fz) * r0d + fz * r1d
+    rdx = r1n - r0n
 
     d = jnp.sum(rn * wznt, axis=1, keepdims=True)    # (SP, 1)
     gz = jnp.sum(rn * wzdt, axis=1, keepdims=True)
     gy = jnp.sum(rdy * wznt, axis=1, keepdims=True)
-    gx = jnp.sum(rdx * wznt, axis=1, keepdims=True)
+    gx = jnp.sum(rdx * wzntx, axis=1, keepdims=True)
 
     # one combined output: lanes [0:32)=d, [32:64)=gx, [64:96)=gy,
     # [96:128)=gz (32-lane broadcast groups; column 0 of each group read
@@ -125,13 +163,17 @@ def _kernel(nzp: int, zc: int, prec, wxn_ref, wxd_ref, wyn_ref,
     )
 
 
-def _weights(i, frac, n, n_pad, dtype):
-    """2-hot + derivative weights over a padded axis (clamped corners)."""
+def _corner_hots(i, n, n_pad, dtype):
+    """One-hot rows of the two clamped corner indices along one axis."""
     ar = jnp.arange(n_pad, dtype=i.dtype)
     i0 = jnp.clip(i, 0, n - 1)[..., None]
     i1 = jnp.clip(i + 1, 0, n - 1)[..., None]
-    h0 = (ar == i0).astype(dtype)
-    h1 = (ar == i1).astype(dtype)
+    return (ar == i0).astype(dtype), (ar == i1).astype(dtype)
+
+
+def _weights(i, frac, n, n_pad, dtype):
+    """2-hot + derivative weights over a padded axis (clamped corners)."""
+    h0, h1 = _corner_hots(i, n, n_pad, dtype)
     w_n = h0 * (1.0 - frac[..., None]) + h1 * frac[..., None]
     w_d = h1 - h0
     return w_n, w_d
@@ -159,15 +201,17 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), (B, 3))
     res = jnp.broadcast_to(jnp.asarray(resolution, dtype), (B,))
     if precision != "highest":
-        # Mosaic's dot lowering supports DEFAULT and HIGHEST only
-        # (NotImplementedError "Unsupported dot precision: HIGH" on chip);
-        # reduced precision also fails the 1e-3 parity budget (measured
-        # p99 positional deviation 0.61 m on the mxu path) — callers must
-        # stay on sdf.trilinear_mxu for experiments with it.
+        # This kernel IS f32-faithful already (exact one-hot selection
+        # over bf16-split grid planes); a genuinely reduced-precision
+        # variant would change nothing but accuracy guarantees, and
+        # Mosaic has no HIGH dot lowering anyway — reject to keep the
+        # config semantics honest.
         raise NotImplementedError(
             "fused lookup kernel supports precision='highest' only"
         )
-    prec = jax.lax.Precision.HIGHEST
+    # the dot inputs are bf16 (exact one-hots x split grid planes) with
+    # f32 accumulation: DEFAULT precision is single-pass and exact here
+    prec = jax.lax.Precision.DEFAULT
 
     pos_m = pos - 0.5 * res[:, None, None]
     idx = jnp.floor(
@@ -187,7 +231,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
 
     zc = _pick_zc(nz)
     nzp = _round_up(nz, zc)
-    wx_n, wx_d = _weights(idx[..., 0], diff[..., 0], nx, NP, dtype)
+    h0x, h1x = _corner_hots(idx[..., 0], nx, NP, dtype)
     wy_n, wy_d = _weights(idx[..., 1], diff[..., 1], ny, NP, dtype)
     wz_n, wz_d = _weights(idx[..., 2], diff[..., 2], nz, nzp, dtype)
     inv_res = (1.0 / res)[:, None, None]
@@ -195,18 +239,26 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     def pad_s(a):
         return jnp.pad(a, ((0, 0), (0, SP - S)) + ((0, 0),) * (a.ndim - 2))
 
-    wxn = pad_s(wx_n)  # (B, SP, NP)
-    wxd = pad_s(wx_d) * inv_res
+    # x-corner one-hot rows stacked on the sublane axis and tiled 3x on
+    # the contraction axis (one copy per bf16 grid plane):
+    # (B, 2*SP, 3*NP) bf16 — one-hots are exact in bf16
+    wx01 = jnp.tile(
+        jnp.concatenate([pad_s(h0x), pad_s(h1x)], axis=1), (1, 1, 3)
+    ).astype(jnp.bfloat16)
+    fx = jnp.broadcast_to(
+        pad_s(diff[..., 0:1]), (B, SP, NP)
+    )  # fraction, same value in every lane
     wyn = pad_s(wy_n)
     wyd = pad_s(wy_d) * inv_res
     wznt = pad_s(wz_n)
     wzdt = pad_s(wz_d) * inv_res
+    wzntx = wznt * inv_res  # carries the 1/res of the x derivative
 
     out = pl.pallas_call(
         functools.partial(_kernel, nzp, zc, prec),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2 * SP, 3 * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -218,14 +270,22 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NP, nzp * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * NP, nzp * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, SP, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, SP, 128), jnp.float32),
+        # Mosaic's default 16 MB scoped-VMEM stack is too tight for the
+        # pipelined bf16 grid blocks + the f32 X intermediate; the chip
+        # has 128 MB VMEM, so give the kernel room.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(wxn, wxd, wyn, wyd, wznt, wzdt, gp)
+    )(wx01, fx, wyn, wyd, wznt, wzdt, wzntx, gp)
 
     d = out[:, :S, 0]
     g = jnp.stack(

@@ -195,20 +195,33 @@ def solve_batch(
     B = scenarios.waypoints.shape[0]
     grid_shape = scenarios.dist.shape[1:]
 
-    # fast path: fused Pallas lookup (batch-first solve).  Validated
-    # bitwise-identical to the mxu path on chip and 1.53x faster at
-    # B=1024, so "auto" routes here on real TPUs when the kernel supports
-    # the shape.  Skipped for shared-map batches (dist leading dim 1):
-    # the fused path would materialize B grid copies.
+    # fast paths (chip-measured at B=1024, in order of preference):
+    #  1. whole-descent Pallas kernel (~800 solves/s): the entire BB
+    #     descent runs on-core with the grid resident in VMEM —
+    #     requires no cost-trace recording;
+    #  2. per-iteration fused Pallas lookup (~690 solves/s);
+    #  3. mxu dense-contraction lookup (~440 solves/s, the fallback).
+    # Shared-map batches (dist leading dim 1) skip 1-2: both would
+    # materialize B grid copies.
     if cfg.lookup_mode in ("auto", "fused"):
+        from grad_traj_optimization_tpu.ops import solve_pallas as sk
         from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
 
         m = scenarios.waypoints.shape[1] - 1
         on_tpu = jax.default_backend() == "tpu"
+        per_scenario_grids = scenarios.dist.shape[0] == B
+        if (
+            cfg.lookup_mode == "auto"
+            and on_tpu
+            and not record_trace
+            and per_scenario_grids
+            and sk.supports(grid_shape, m * cfg.n_samples, 3 * m - 3, cfg)
+        ):
+            return solve_batch_kernel(scenarios, cfg=cfg, steps=steps)
         if (
             tp.supports(grid_shape, m * cfg.n_samples)
             and cfg.lookup_precision == "highest"
-            and scenarios.dist.shape[0] == B
+            and per_scenario_grids
             and (cfg.lookup_mode == "fused" or on_tpu)
         ):
             return solve_batch_fused(
@@ -323,6 +336,112 @@ def crop_scenarios(
         origin=new_origin,
         resolution=scenarios.resolution,
         waypoints=scenarios.waypoints,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "interpret")
+)
+def solve_batch_kernel(
+    scenarios: Scenario,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    steps: tuple[int, ...] = (2,),
+    interpret: bool = False,
+) -> Solution:
+    """Batch solve with the WHOLE descent fused into one Pallas kernel.
+
+    The fastest path on TPU: each scenario's distance grid is loaded
+    into VMEM once and all descent iterations run on-core
+    (ops/solve_pallas.py), instead of re-streaming the grid from HBM
+    every iteration.  Produces the same iterate rule as
+    :func:`solve_batch_fused` (BB + monotone acceptance) up to f32
+    rounding.  No cost-trace recording — use the other paths for that.
+    """
+    from grad_traj_optimization_tpu.core import poly
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+    from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+    wp = scenarios.waypoints  # (B, m+1, 3)
+    B = wp.shape[0]
+    m = wp.shape[1] - 1
+    ein = penalty._einsum
+
+    T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
+        wp
+    )
+    Df, dp0 = jax.vmap(qp.straight_line_d)(wp)  # (B,3,6), (B,3,P)
+    dep = jax.vmap(qp.build_dep)(T)
+    P = dp0.shape[2]
+    ndim = 3 * m + 3
+    K = cfg.n_samples
+    S = m * K
+
+    k = jnp.arange(K, dtype=T.dtype)
+    ts = cfg.t_offset + k[None, None, :] * (T[:, :, None] / K)  # (B,m,K)
+    Tmat = poly.time_powers(ts)   # (B, m, K, 6)
+    TVmat = poly.vel_powers(ts)
+    Lseg = dep.L.reshape(B, m, 6, ndim)
+    apos = ein("bmkj,bmja->bmka", Tmat, Lseg).reshape(B, S, ndim)
+    avel = ein("bmkj,bmja->bmka", TVmat, Lseg).reshape(B, S, ndim)
+    pad = sk.SP - S
+    apos = jnp.pad(apos, ((0, 0), (0, pad), (0, 0)))
+    avel = jnp.pad(avel, ((0, 0), (0, pad), (0, 0)))
+    tlT = jnp.swapaxes(apos[:, :, 6:], 1, 2)   # (B, P, SP)
+    tvlT = jnp.swapaxes(avel[:, :, 6:], 1, 2)
+    dts = jnp.broadcast_to(
+        (T / K)[:, :, None], (B, m, K)
+    ).reshape(B, S, 1)
+    dts = jnp.pad(dts, ((0, 0), (0, pad), (0, 0)))  # pads mask the tail
+
+    cgt = 2.0 * ein("bxf,bfp->bpx", Df, dep.Rfp)     # (B, P, 3)
+    c_ff = ein("bxf,bfg,bxg->b", Df, dep.R[:, :6, :6], Df)
+    lb, ub = jax.vmap(
+        lambda w: penalty.bounds(w, 3 * m - 3, cfg, dtype=w.dtype)
+    )(wp)
+    lbT = jnp.swapaxes(lb, 1, 2)
+    ubT = jnp.swapaxes(ub, 1, 2)
+    dp0T = jnp.swapaxes(dp0, 1, 2)
+    dfT = jnp.swapaxes(Df, 1, 2)
+
+    misc = jnp.zeros((B, 1, 8), jnp.float32)
+    misc = misc.at[:, 0, 0:3].set(scenarios.origin)
+    misc = misc.at[:, 0, 3].set(
+        jnp.broadcast_to(scenarios.resolution, (B,))
+    )
+    misc = misc.at[:, 0, 4].set(c_ff)
+
+    grids = scenarios.dist
+    if grids.shape[0] == 1 and B > 1:
+        grids = jnp.broadcast_to(grids, (B,) + grids.shape[1:])
+    gp = tp.prep_grids(grids)
+
+    phases = tuple(
+        (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
+    )
+    dpT, cost, n_acc = sk.descend_fused(
+        gp, grids.shape[1:], apos, avel, tlT, tvlT, dep.Rpp, cgt,
+        lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
+        interpret=interpret,
+    )
+    dp = jnp.swapaxes(dpT, 1, 2)  # (B, 3, P)
+
+    coeff = jax.vmap(qp.coeff_from_d)(Df, dp, T)
+    bad = jnp.logical_not(
+        jnp.isfinite(cost) & jnp.all(jnp.isfinite(dp), axis=(1, 2))
+    )
+    status = jnp.where(bad, STATUS_DIVERGED, STATUS_OK).astype(jnp.int32)
+    coeff_seed = jax.vmap(qp.coeff_from_d)(Df, dp0, T)
+    dp_safe = jnp.where(bad[:, None, None], dp0, dp)
+    coeff = jnp.where(bad[:, None, None, None], coeff_seed, coeff)
+    total_iters = sum(it for _, it in phases)
+    return Solution(
+        coeff=coeff,
+        T=T,
+        cost=cost,
+        cost_trace=jnp.full((B, total_iters), jnp.nan, jnp.float32),
+        n_accept=n_acc,
+        dp=dp_safe,
+        status=status,
     )
 
 

@@ -286,3 +286,38 @@ def test_crop_scenarios_matches_full_grid():
             batch.dist[b], batch.origin[b], batch.resolution[b], p1
         )
         assert float(jnp.min(d_full)) > float(jnp.min(d_ref)) - 0.25
+
+
+def test_solve_batch_kernel_matches_reference_path():
+    """Whole-descent Pallas kernel (interpret mode on CPU) vs the
+    reference vmap path: identical BB iterate rule, same accept counts,
+    trajectories within the parity budget at moderate iteration counts
+    (long runs diverge chaotically into equal-quality basins — see
+    ops/solve_pallas.py docstring)."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(iters_step1=4, iters_step2=10)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    wps = np.stack([wp, wp + np.array([0.15, 0.0, 0.1])], axis=0)
+    batch = solve_mod.Scenario(
+        dist=jnp.stack([scn.dist, scn.dist]),
+        origin=jnp.broadcast_to(scn.origin, (2, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (2,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    s_ref = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=(1, 2), record_trace=False
+    )
+    s_k = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(1, 2), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_k.n_accept), np.asarray(s_ref.n_accept)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.cost), np.asarray(s_ref.cost), rtol=5e-3
+    )
+    assert np.all(np.asarray(s_k.status) == solve_mod.STATUS_OK)
+    for b in range(2):
+        p1, _ = poly.sample_uniform(s_ref.coeff[b], s_ref.T[b], 100)
+        p2, _ = poly.sample_uniform(s_k.coeff[b], s_k.T[b], 100)
+        assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3

@@ -110,31 +110,31 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
     h0y, h1y = hots(iy, ny, NP)
     h0z, h1z = hots(iz, nz, nzp)
 
-    # stacked bf16 one-hot rows, tiled per grid plane (hi, mid, lo)
+    # stacked bf16 one-hot rows, tiled per grid plane (hi, mid[, lo])
     wx = jnp.concatenate([h0x, h1x], axis=0).astype(jnp.bfloat16)
-    wx01 = jnp.concatenate([wx, wx, wx], axis=1)  # (2*SP, 3*NP)
+    wx01 = jnp.concatenate([wx] * tp.PLANES, axis=1)  # (2*SP, PLANES*NP)
     wyn = (h0y * (1.0 - fyq) + h1y * fyq)[:, None, :]  # (SP, 1, NP)
     wyd = ((h1y - h0y) * inv_res)[:, None, :]
     wznt = h0z * (1.0 - fzq) + h1z * fzq  # (SP, nzp)
     wzdt = (h1z - h0z) * inv_res
 
-    r0n_p, r1n_p, r0d_p, r1d_p = [], [], [], []
+    # both corner sets y-reduce in one stacked op (fewer VPU dispatches)
+    wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
+    wyd2 = jnp.concatenate([wyd, wyd], axis=0)
+    sn_p, sd_p = [], []
     for zb in range(nzp // zc):
         Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
         X = jnp.dot(
             wx01, Gb, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        ).reshape(2, SP, zc, NP)
-        x0, x1 = X[0], X[1]
-        r0n_p.append(jnp.sum(x0 * wyn, axis=2))
-        r1n_p.append(jnp.sum(x1 * wyn, axis=2))
-        r0d_p.append(jnp.sum(x0 * wyd, axis=2))
-        r1d_p.append(jnp.sum(x1 * wyd, axis=2))
+        ).reshape(2 * SP, zc, NP)
+        sn_p.append(jnp.sum(X * wyn2, axis=2))  # (2*SP, zc)
+        sd_p.append(jnp.sum(X * wyd2, axis=2))
 
-    r0n = jnp.concatenate(r0n_p, axis=1)  # (SP, nzp)
-    r1n = jnp.concatenate(r1n_p, axis=1)
-    r0d = jnp.concatenate(r0d_p, axis=1)
-    r1d = jnp.concatenate(r1d_p, axis=1)
+    sn = jnp.concatenate(sn_p, axis=1)  # (2*SP, nzp)
+    sd = jnp.concatenate(sd_p, axis=1)
+    r0n, r1n = sn[:SP], sn[SP:]
+    r0d, r1d = sd[:SP], sd[SP:]
 
     rn = (1.0 - fxq) * r0n + fxq * r1n
     rdy = (1.0 - fxq) * r0d + fxq * r1d
@@ -296,7 +296,7 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
         ),
         grid=(B,),
         in_specs=[
-            spec((3 * NP, nzp * NP)),
+            spec((tp.PLANES * NP, nzp * NP)),
             spec((SP, ndim)),
             spec((SP, ndim)),
             spec((P, SP)),

@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 SP = 184
 #: padded x/y extents (MXU tile)
 NP = 128
+#: bf16 planes the f32 grid splits into (hi, mid[, lo]).  2 planes are
+#: accurate to ~1.2e-4 m absolute even at the 10000 free-distance cap
+#: (~6e-5 m in the penalty-relevant d < 16 m range) and cost 2 MXU
+#: passes + 2/3 of the grid traffic; 3 planes are exactly f32.
+PLANES = 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,53 +65,56 @@ def _pick_zc(nz: int) -> int:
 
 def supports(grid_shape, n_samples: int) -> bool:
     nx, ny, nz = grid_shape
-    # grid block (3*NP x nzp*NP bf16) is the dominant VMEM tenant
+    # grid block (PLANES*NP x nzp*NP bf16) is the dominant VMEM tenant
     # (x2 pipelining)
     nzp = _round_up(nz, _pick_zc(nz))
     return (
         nx <= NP and ny <= NP and n_samples <= SP
-        and 3 * NP * nzp * NP * 2 * 2 <= (8 << 20)
+        and PLANES * NP * nzp * NP * 2 * 2 <= (8 << 20)
     )
 
 
 def prep_grids(grids):
     """Arrange (B, nx, ny, nz) grids into the kernel layout: column
     c = z * NP + y, z padded to a multiple of the chunk size, and the
-    f32 values split into THREE stacked bf16 planes (hi, mid, lo) along
-    the x/contraction axis -> (B, 3*NP, nzp*NP) bf16.  Call once per
-    solve.
+    f32 values split into PLANES stacked bf16 planes (hi, mid[, lo])
+    along the x/contraction axis -> (B, PLANES*NP, nzp*NP) bf16.  Call
+    once per solve.
 
-    Why bf16 triples: the kernel's x contraction is a one-hot SELECTION,
+    Why bf16 planes: the kernel's x contraction is a one-hot SELECTION,
     so every MXU product is exact — the only error is representing the
-    f32 grid value, and hi + mid + lo recovers it to ~2^-27 relative.
-    A DEFAULT-precision bf16 dot over the 3x-stacked contraction axis
-    costs 3 MXU passes where a HIGHEST f32 dot costs 6 — 2x on the op
-    that dominates the whole solve."""
+    f32 grid value as a sum of bf16 planes (hi + mid is accurate to
+    ~2^-17 relative; + lo recovers f32 exactly).  A DEFAULT-precision
+    bf16 dot over the PLANES-stacked contraction axis costs PLANES MXU
+    passes where a HIGHEST f32 dot costs 6 — on the op that dominates
+    the whole solve."""
     B, nx, ny, nz = grids.shape
     nzp = _round_up(nz, _pick_zc(nz))
     g = jnp.transpose(grids, (0, 1, 3, 2))  # (B, nx, nz, ny)
     g = jnp.pad(
         g, ((0, 0), (0, NP - nx), (0, nzp - nz), (0, NP - ny))
     ).reshape(B, NP, nzp * NP)
-    hi = g.astype(jnp.bfloat16)
-    r1 = g - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=1)  # (B, 3*NP, nzp*NP)
+    planes = []
+    rem = g
+    for _ in range(PLANES):
+        p = rem.astype(jnp.bfloat16)
+        planes.append(p)
+        rem = rem - p.astype(jnp.float32)
+    return jnp.concatenate(planes, axis=1)  # (B, PLANES*NP, nzp*NP)
 
 
 def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
             wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
-    """One scenario.  wx01 (2*SP, 3*NP) stacks the x-corner one-hot rows
-    [h0; h1], tiled 3x along the contraction axis to sum the grid's
-    bf16 (hi, mid, lo) planes (see prep_grids); fx (SP, NP) broadcasts
+    """One scenario.  wx01 (2*SP, PLANES*NP) stacks the x-corner one-hot
+    rows [h0; h1], tiled along the contraction axis to sum the grid's
+    bf16 planes (see prep_grids); fx (SP, NP) broadcasts
     the x interpolation fraction; wy* (SP, NP); wz*t (SP, nzp) with
-    wzntx = wznt/res for the gx output; grid (3*NP, nzp*NP) bf16;
+    wzntx = wznt/res for the gx output; grid (PLANES*NP, nzp*NP) bf16;
     o (SP, 128).
 
     The x contraction is ONE stacked bf16 matmul per z-chunk at DEFAULT
     precision (every product is an exact one-hot selection, f32
-    accumulation; 3 MXU passes vs 6 for a HIGHEST f32 dot).  Stacking
+    accumulation; PLANES MXU passes vs 6 for a HIGHEST f32 dot).  Stacking
     both corner row sets also avoids M-tile padding waste (2 x 184 ->
     2 x 256 rows vs 368 -> 384).  X0/X1 are y-reduced immediately; the
     x-fraction blend happens on the reduced (SP, nzp) columns (blend and
@@ -122,22 +130,22 @@ def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
     # x fraction on the tiny (SP, nzp) results: avoids ever materializing
     # a blended (SP, zc, NP) tensor next to X, which overflows the
     # Mosaic VMEM stack (x-blend and y-reduction commute — both linear).
-    r0n_p, r1n_p, r0d_p, r1d_p = [], [], [], []
+    # Both corner sets reduce in one stacked op (fewer VPU dispatches).
+    wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
+    wyd2 = jnp.concatenate([wyd, wyd], axis=0)
+    sn_p, sd_p = [], []
     for zb in range(nzp // zc):
         Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
         X = jnp.dot(
             wx01, Gb, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(2, SP, zc, NP)
-        x0, x1 = X[0], X[1]
-        r0n_p.append(jnp.sum(x0 * wyn, axis=2))    # (SP, zc)
-        r1n_p.append(jnp.sum(x1 * wyn, axis=2))
-        r0d_p.append(jnp.sum(x0 * wyd, axis=2))
-        r1d_p.append(jnp.sum(x1 * wyd, axis=2))
+        ).reshape(2 * SP, zc, NP)
+        sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
+        sd_p.append(jnp.sum(X * wyd2, axis=2))
 
-    r0n = jnp.concatenate(r0n_p, axis=1)   # (SP, nzp)
-    r1n = jnp.concatenate(r1n_p, axis=1)
-    r0d = jnp.concatenate(r0d_p, axis=1)
-    r1d = jnp.concatenate(r1d_p, axis=1)
+    sn = jnp.concatenate(sn_p, axis=1)   # (2*SP, nzp)
+    sd = jnp.concatenate(sd_p, axis=1)
+    r0n, r1n = sn[:SP], sn[SP:]
+    r0d, r1d = sd[:SP], sd[SP:]
 
     fz = fx_ref[0][:, :nzp]  # x fraction, same value in every lane
     rn = (1.0 - fz) * r0n + fz * r1n
@@ -243,7 +251,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     # the contraction axis (one copy per bf16 grid plane):
     # (B, 2*SP, 3*NP) bf16 — one-hots are exact in bf16
     wx01 = jnp.tile(
-        jnp.concatenate([pad_s(h0x), pad_s(h1x)], axis=1), (1, 1, 3)
+        jnp.concatenate([pad_s(h0x), pad_s(h1x)], axis=1), (1, 1, PLANES)
     ).astype(jnp.bfloat16)
     fx = jnp.broadcast_to(
         pad_s(diff[..., 0:1]), (B, SP, NP)
@@ -258,7 +266,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
         functools.partial(_kernel, nzp, zc, prec),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2 * SP, 3 * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2 * SP, PLANES * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -272,7 +280,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * NP, nzp * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PLANES * NP, nzp * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, SP, 128), lambda i: (i, 0, 0),

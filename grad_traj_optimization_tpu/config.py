@@ -82,10 +82,12 @@ class OptimizerConfig:
     # --- distance-field lookup mode ---
     # "elem"/"row": gather-based (fine on CPU); "mxu": dense separable
     # contraction (TPU: gathers are ~35 ns/element scalar ops); "fused":
-    # the Pallas kernel (grid slab resident in VMEM, no HBM intermediate).
-    # "auto" on TPU picks fused where the kernel supports the shape
-    # (measured 1.53x over mxu at B=1024, bitwise-identical solutions),
-    # falling back to mxu.
+    # the Pallas kernels (grid resident in VMEM as bf16 hi/mid planes,
+    # values faithful to ~1e-4 m).  "auto" on TPU picks the
+    # whole-descent kernel (ops/solve_pallas.py) for batched no-trace
+    # solves, then the fused lookup, then mxu — measured 824 / 690 /
+    # 437 solves/s at B=1024 with statistically identical solution
+    # quality (equal-quality basins; fragile scenarios may flip).
     lookup_mode: str = "auto"
 
     # --- matmul precision for the dense lookup contractions ---

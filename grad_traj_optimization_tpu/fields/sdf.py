@@ -468,12 +468,6 @@ def trilinear_mxu(grid, origin, resolution, pos, precision: str = "highest"):
     return d.reshape(lead_shape), g.reshape(lead_shape + (3,))
 
 
-def _einsum_hi(subscripts, *operands):
-    return jnp.einsum(
-        subscripts, *operands, precision=jax.lax.Precision.HIGHEST
-    )
-
-
 def max_distance(dist):
     """Reference getMaxDistance (sdf_map.cpp:423-431)."""
     return jnp.max(dist)

@@ -62,7 +62,7 @@ def supports(grid_shape, n_samples: int, num_dp: int, cfg) -> bool:
     """Kernel applicability: lookup-shape limits + BB rule + P fits."""
     return (
         tp.supports(grid_shape, n_samples)
-        and num_dp <= 128
+        and 1 <= num_dp <= 128  # m = 1 (two waypoints) has no free dp
         and cfg.step_rule == "bb"
         and cfg.lookup_precision == "highest"
     )
@@ -118,32 +118,10 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
     wznt = h0z * (1.0 - fzq) + h1z * fzq  # (SP, nzp)
     wzdt = (h1z - h0z) * inv_res
 
-    # both corner sets y-reduce in one stacked op (fewer VPU dispatches)
-    wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
-    wyd2 = jnp.concatenate([wyd, wyd], axis=0)
-    sn_p, sd_p = [], []
-    for zb in range(nzp // zc):
-        Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
-        X = jnp.dot(
-            wx01, Gb, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        ).reshape(2 * SP, zc, NP)
-        sn_p.append(jnp.sum(X * wyn2, axis=2))  # (2*SP, zc)
-        sd_p.append(jnp.sum(X * wyd2, axis=2))
-
-    sn = jnp.concatenate(sn_p, axis=1)  # (2*SP, nzp)
-    sd = jnp.concatenate(sd_p, axis=1)
-    r0n, r1n = sn[:SP], sn[SP:]
-    r0d, r1d = sd[:SP], sd[SP:]
-
-    rn = (1.0 - fxq) * r0n + fxq * r1n
-    rdy = (1.0 - fxq) * r0d + fxq * r1d
-    rdx = (r1n - r0n) * inv_res
-
-    d = jnp.sum(rn * wznt, axis=1, keepdims=True)  # (SP, 1)
-    gz = jnp.sum(rn * wzdt, axis=1, keepdims=True)
-    gy = jnp.sum(rdy * wznt, axis=1, keepdims=True)
-    gx = jnp.sum(rdx * wznt, axis=1, keepdims=True)
+    d, gx, gy, gz = tp.lookup_core(
+        grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
+        nzp, zc,
+    )
 
     okf = ok.astype(jnp.float32)
     d = jnp.where(ok, d, -1.0)

@@ -103,34 +103,32 @@ def prep_grids(grids):
     return jnp.concatenate(planes, axis=1)  # (B, PLANES*NP, nzp*NP)
 
 
-def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
-            wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
-    """One scenario.  wx01 (2*SP, PLANES*NP) stacks the x-corner one-hot
-    rows [h0; h1], tiled along the contraction axis to sum the grid's
-    bf16 planes (see prep_grids); fx (SP, NP) broadcasts
-    the x interpolation fraction; wy* (SP, NP); wz*t (SP, nzp) with
-    wzntx = wznt/res for the gx output; grid (PLANES*NP, nzp*NP) bf16;
-    o (SP, 128).
+def lookup_core(grid_ref, wx01, fz, wyn, wyd, wznt, wzdt, wzntx,
+                nzp: int, zc: int):
+    """The shared trilinear contraction both Pallas kernels run.
+
+    Args (in-kernel values for ONE scenario):
+      grid_ref: the scenario's grid-plane block ref (1, PLANES*NP,
+        nzp*NP) bf16, chunk-sliced inside (never fully materialized);
+      wx01: (2*SP, PLANES*NP) bf16 — the x-corner one-hot rows [h0; h1]
+        tiled per grid plane;
+      fz: x interpolation fraction, (SP, 1) or (SP, nzp);
+      wyn/wyd: (SP, 1, NP) y interpolation / derivative weights (wyd
+        carries 1/res);
+      wznt/wzdt/wzntx: (SP, nzp) z weights; wzdt carries 1/res and
+        wzntx = wznt/res (for the x derivative output).
+    Returns d, gx, gy, gz as (SP, 1).
 
     The x contraction is ONE stacked bf16 matmul per z-chunk at DEFAULT
     precision (every product is an exact one-hot selection, f32
-    accumulation; PLANES MXU passes vs 6 for a HIGHEST f32 dot).  Stacking
-    both corner row sets also avoids M-tile padding waste (2 x 184 ->
-    2 x 256 rows vs 368 -> 384).  X0/X1 are y-reduced immediately; the
-    x-fraction blend happens on the reduced (SP, nzp) columns (blend and
-    reduction commute), keeping the per-chunk VMEM stack to X alone."""
-    wyn = wyn_ref[0][:, None, :]  # (SP, 1, NP)
-    wyd = wyd_ref[0][:, None, :]
-    wznt = wznt_ref[0]  # (SP, nzp)
-    wzdt = wzdt_ref[0]
-    wzntx = wzntx_ref[0]
-    wx01 = wx01_ref[0]  # (2*SP, NP)
-
-    # y-reduce the two x-corner row products FIRST, then blend with the
-    # x fraction on the tiny (SP, nzp) results: avoids ever materializing
-    # a blended (SP, zc, NP) tensor next to X, which overflows the
-    # Mosaic VMEM stack (x-blend and y-reduction commute — both linear).
-    # Both corner sets reduce in one stacked op (fewer VPU dispatches).
+    accumulation; PLANES MXU passes vs 6 for a HIGHEST f32 dot).
+    Stacking both corner row sets also avoids M-tile padding waste
+    (2 x 184 -> 2 x 256 rows vs 368 -> 384).  X0/X1 are y-reduced
+    immediately — in one stacked op per chunk — and the x-fraction
+    blend happens on the reduced (SP, nzp) columns (blend and reduction
+    commute): a blended (SP, zc, NP) tensor next to X would overflow
+    the Mosaic VMEM stack."""
+    prec = jax.lax.Precision.DEFAULT
     wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
     wyd2 = jnp.concatenate([wyd, wyd], axis=0)
     sn_p, sd_p = [], []
@@ -147,7 +145,6 @@ def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
     r0n, r1n = sn[:SP], sn[SP:]
     r0d, r1d = sd[:SP], sd[SP:]
 
-    fz = fx_ref[0][:, :nzp]  # x fraction, same value in every lane
     rn = (1.0 - fz) * r0n + fz * r1n
     rdy = (1.0 - fz) * r0d + fz * r1d
     rdx = r1n - r0n
@@ -156,6 +153,26 @@ def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
     gz = jnp.sum(rn * wzdt, axis=1, keepdims=True)
     gy = jnp.sum(rdy * wznt, axis=1, keepdims=True)
     gx = jnp.sum(rdx * wzntx, axis=1, keepdims=True)
+    return d, gx, gy, gz
+
+
+def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
+            wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
+    """One scenario of the standalone lookup (see lookup_core).  fx is
+    (SP, nzp) — the x fraction replicated across lanes."""
+    del prec  # the core pins DEFAULT (bf16 selection is exact)
+    d, gx, gy, gz = lookup_core(
+        grid_ref,
+        wx01_ref[0],
+        fx_ref[0],
+        wyn_ref[0][:, None, :],
+        wyd_ref[0][:, None, :],
+        wznt_ref[0],
+        wzdt_ref[0],
+        wzntx_ref[0],
+        nzp,
+        zc,
+    )
 
     # one combined output: lanes [0:32)=d, [32:64)=gx, [64:96)=gy,
     # [96:128)=gz (32-lane broadcast groups; column 0 of each group read
@@ -209,11 +226,11 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), (B, 3))
     res = jnp.broadcast_to(jnp.asarray(resolution, dtype), (B,))
     if precision != "highest":
-        # This kernel IS f32-faithful already (exact one-hot selection
-        # over bf16-split grid planes); a genuinely reduced-precision
-        # variant would change nothing but accuracy guarantees, and
-        # Mosaic has no HIGH dot lowering anyway — reject to keep the
-        # config semantics honest.
+        # The kernel's accuracy is set by the bf16 plane split (exact
+        # one-hot selection products; values faithful to ~1.2e-4 m with
+        # PLANES=2), not by dot precision — a "high" variant would
+        # change nothing, and Mosaic has no HIGH dot lowering anyway.
+        # Callers gate on 'highest' and fall back to mxu otherwise.
         raise NotImplementedError(
             "fused lookup kernel supports precision='highest' only"
         )
@@ -247,15 +264,16 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     def pad_s(a):
         return jnp.pad(a, ((0, 0), (0, SP - S)) + ((0, 0),) * (a.ndim - 2))
 
-    # x-corner one-hot rows stacked on the sublane axis and tiled 3x on
-    # the contraction axis (one copy per bf16 grid plane):
-    # (B, 2*SP, 3*NP) bf16 — one-hots are exact in bf16
+    # x-corner one-hot rows stacked on the sublane axis and tiled on the
+    # contraction axis (one copy per bf16 grid plane):
+    # (B, 2*SP, PLANES*NP) bf16 — one-hots are exact in bf16
     wx01 = jnp.tile(
         jnp.concatenate([pad_s(h0x), pad_s(h1x)], axis=1), (1, 1, PLANES)
     ).astype(jnp.bfloat16)
     fx = jnp.broadcast_to(
-        pad_s(diff[..., 0:1]), (B, SP, NP)
-    )  # fraction, same value in every lane
+        pad_s(diff[..., 0:1]), (B, SP, nzp)
+    )  # fraction, same value in every lane (nzp lanes, not NP: the
+    # blend happens on the (SP, nzp) reduced columns)
     wyn = pad_s(wy_n)
     wyd = pad_s(wy_d) * inv_res
     wznt = pad_s(wz_n)
@@ -268,7 +286,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
         in_specs=[
             pl.BlockSpec((1, 2 * SP, PLANES * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -274,7 +274,9 @@ def _lookup_batched(pos_flat, grids, origin, resolution, cfg,
             gp, grids.shape[1:], origin, resolution, pos_flat,
             interpret=interp,
         )
-    if jax.default_backend() == "tpu" and mode in ("auto", "mxu"):
+    # "fused" that fails the gate (precision/shape) degrades to mxu on
+    # TPU — NEVER to the scalar-gather path (~35 ns/element)
+    if jax.default_backend() == "tpu" and mode in ("auto", "mxu", "fused"):
         return jax.vmap(
             lambda g, o, r, p: sdf.trilinear_mxu(
                 g, o, r, p, precision=cfg.lookup_precision

@@ -505,10 +505,11 @@ def solve_batch_fused(
         from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
 
         m_seg = wp.shape[1] - 1
+        # must match _lookup_batched's use_fused gate exactly, or the
+        # prep is dead work / the kernel is skipped with gp wasted
         if tp.supports(grids.shape[1:], m_seg * cfg.n_samples) and (
             cfg.lookup_mode == "fused"
             or jax.default_backend() == "tpu"
-            or interpret
         ):
             gp = tp.prep_grids(grids)
 

@@ -115,12 +115,20 @@ def main():
             scns, cfg=cfg, steps=(2,), record_trace=False
         )
 
-    # order: most important first; HIGHEST variants before HIGH (a HIGH
-    # Mosaic failure must not cost us the fused-vs-mxu answer)
+    def run_kernel():
+        cfg = OptimizerConfig()
+        return lambda: solve_mod.solve_batch_kernel(
+            scns, cfg=cfg, steps=(2,)
+        )
+
+    # order: most important first.  NOTE: there is no "fused_high"
+    # variant — the fused kernels gate on lookup_precision="highest"
+    # (their bf16-plane accuracy is independent of dot precision) and
+    # "fused" + "high" degrades to the mxu path by design.
     measure("mxu_highest", run("mxu", "highest"))
     measure("fused_highest", run("fused", "highest"))
+    measure("whole_descent_kernel", run_kernel())
     measure("mxu_high", run("mxu", "high"))
-    measure("fused_high", run("fused", "high"))
     print(json.dumps({"done": True}), flush=True)
 
 

@@ -56,7 +56,9 @@ def part1():
         return float(jnp.sum(s.cost))
 
     for iters in (100, 50):
-        cfg = OptimizerConfig(iters_step2=iters)
+        # pin the per-iteration fused path: "auto" now dispatches to the
+        # whole-descent kernel, which this decomposition is not about
+        cfg = OptimizerConfig(iters_step2=iters, lookup_mode="fused")
         run = lambda: solve_mod.solve_batch(
             scns, cfg=cfg, steps=(2,), record_trace=False
         )

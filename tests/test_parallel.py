@@ -115,17 +115,31 @@ def test_multiprocess_distributed_solve():
     env = {
         k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
     }  # workers set their own device count
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=480)[0] for p in procs]
+    procs = []
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        # drain both pipes concurrently (a worker blocked on a full pipe
+        # while the other is being communicate()d would deadlock)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            futs = [
+                ex.submit(p.communicate, timeout=480) for p in procs
+            ]
+            outs = [f.result()[0] for f in futs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
     result_lines = [

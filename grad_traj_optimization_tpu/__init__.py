@@ -28,9 +28,12 @@ from grad_traj_optimization_tpu.config import (
 from grad_traj_optimization_tpu.solver import (
     Scenario,
     Solution,
+    crop_scenarios,
     make_scenario,
     solve,
     solve_batch,
+    solve_batch_fused,
+    solve_batch_kernel,
 )
 
 __version__ = "0.1.0"
@@ -42,7 +45,10 @@ __all__ = [
     "TEXT_INPUT_CONFIG",
     "Scenario",
     "Solution",
+    "crop_scenarios",
     "make_scenario",
     "solve",
     "solve_batch",
+    "solve_batch_fused",
+    "solve_batch_kernel",
 ]

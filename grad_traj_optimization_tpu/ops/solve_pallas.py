@@ -10,8 +10,8 @@ projected-BB descent (reference back-end: grad_traj_optimizer.cpp:
 128-243, NLopt replaced per SURVEY.md §2 row 4) inside the kernel:
 
     per scenario (one Pallas grid instance):
-      VMEM <- grid planes (bf16 hi/mid/lo, see trilinear_pallas),
-              sampling chains, QP blocks, bounds     [~2.7 MB, ONCE]
+      VMEM <- grid planes (bf16 hi/mid, see trilinear_pallas.PLANES),
+              sampling chains, QP blocks, bounds     [~2 MB, ONCE]
       for phase in steps:                   (static, cfg schedule)
         for it in range(iters):             (lax.fori_loop)
           cand  = clip(dp - step * grad)                      [VPU]

@@ -43,9 +43,12 @@ SP = 184
 #: padded x/y extents (MXU tile)
 NP = 128
 #: bf16 planes the f32 grid splits into (hi, mid[, lo]).  2 planes are
-#: accurate to ~1.2e-4 m absolute even at the 10000 free-distance cap
-#: (~6e-5 m in the penalty-relevant d < 16 m range) and cost 2 MXU
-#: passes + 2/3 of the grid traffic; 3 planes are exactly f32.
+#: relatively accurate to ~2^-17: <=6e-5 m absolute in the
+#: penalty-relevant d < 16 m range (the exponential penalty underflows
+#: far earlier), but up to ~0.08 m near the 10000 free-distance cap —
+#: do NOT treat raw kernel distances near the cap as f32-faithful.
+#: 2 planes cost 2 MXU passes + 2/3 of the grid traffic; 3 planes are
+#: exactly f32.
 PLANES = 2
 
 
@@ -84,7 +87,8 @@ def prep_grids(grids):
     Why bf16 planes: the kernel's x contraction is a one-hot SELECTION,
     so every MXU product is exact — the only error is representing the
     f32 grid value as a sum of bf16 planes (hi + mid is accurate to
-    ~2^-17 relative; + lo recovers f32 exactly).  A DEFAULT-precision
+    ~2^-17 RELATIVE — absolute error grows with the value, see the
+    PLANES note; + lo recovers f32 exactly).  A DEFAULT-precision
     bf16 dot over the PLANES-stacked contraction axis costs PLANES MXU
     passes where a HIGHEST f32 dot costs 6 — on the op that dominates
     the whole solve."""
@@ -103,7 +107,7 @@ def prep_grids(grids):
     return jnp.concatenate(planes, axis=1)  # (B, PLANES*NP, nzp*NP)
 
 
-def lookup_core(grid_ref, wx01, fz, wyn, wyd, wznt, wzdt, wzntx,
+def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
                 nzp: int, zc: int):
     """The shared trilinear contraction both Pallas kernels run.
 
@@ -112,7 +116,7 @@ def lookup_core(grid_ref, wx01, fz, wyn, wyd, wznt, wzdt, wzntx,
         nzp*NP) bf16, chunk-sliced inside (never fully materialized);
       wx01: (2*SP, PLANES*NP) bf16 — the x-corner one-hot rows [h0; h1]
         tiled per grid plane;
-      fz: x interpolation fraction, (SP, 1) or (SP, nzp);
+      fx_frac: X interpolation fraction, (SP, 1) or (SP, nzp);
       wyn/wyd: (SP, 1, NP) y interpolation / derivative weights (wyd
         carries 1/res);
       wznt/wzdt/wzntx: (SP, nzp) z weights; wzdt carries 1/res and
@@ -145,8 +149,8 @@ def lookup_core(grid_ref, wx01, fz, wyn, wyd, wznt, wzdt, wzntx,
     r0n, r1n = sn[:SP], sn[SP:]
     r0d, r1d = sd[:SP], sd[SP:]
 
-    rn = (1.0 - fz) * r0n + fz * r1n
-    rdy = (1.0 - fz) * r0d + fz * r1d
+    rn = (1.0 - fx_frac) * r0n + fx_frac * r1n
+    rdy = (1.0 - fx_frac) * r0d + fx_frac * r1d
     rdx = r1n - r0n
 
     d = jnp.sum(rn * wznt, axis=1, keepdims=True)    # (SP, 1)
@@ -156,11 +160,10 @@ def lookup_core(grid_ref, wx01, fz, wyn, wyd, wznt, wzdt, wzntx,
     return d, gx, gy, gz
 
 
-def _kernel(nzp: int, zc: int, prec, wx01_ref, fx_ref, wyn_ref,
+def _kernel(nzp: int, zc: int, wx01_ref, fx_ref, wyn_ref,
             wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
     """One scenario of the standalone lookup (see lookup_core).  fx is
-    (SP, nzp) — the x fraction replicated across lanes."""
-    del prec  # the core pins DEFAULT (bf16 selection is exact)
+    (SP, 1) — one x fraction per sample."""
     d, gx, gy, gz = lookup_core(
         grid_ref,
         wx01_ref[0],
@@ -213,7 +216,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     """Batched fused lookup against pre-arranged grids (see prep_grids).
 
     Args:
-      gp: (B, NP, nz*NP) from :func:`prep_grids`.
+      gp: (B, PLANES*NP, nzp*NP) bf16 from :func:`prep_grids`.
       grid_shape: static original (nx, ny, nz).
       origin: (B, 3); resolution: (B,) or scalar; pos: (B, S, 3).
     Returns:
@@ -227,17 +230,13 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     res = jnp.broadcast_to(jnp.asarray(resolution, dtype), (B,))
     if precision != "highest":
         # The kernel's accuracy is set by the bf16 plane split (exact
-        # one-hot selection products; values faithful to ~1.2e-4 m with
+        # one-hot selection products; ~2^-17 relative value error with
         # PLANES=2), not by dot precision — a "high" variant would
         # change nothing, and Mosaic has no HIGH dot lowering anyway.
         # Callers gate on 'highest' and fall back to mxu otherwise.
         raise NotImplementedError(
             "fused lookup kernel supports precision='highest' only"
         )
-    # the dot inputs are bf16 (exact one-hots x split grid planes) with
-    # f32 accumulation: DEFAULT precision is single-pass and exact here
-    prec = jax.lax.Precision.DEFAULT
-
     pos_m = pos - 0.5 * res[:, None, None]
     idx = jnp.floor(
         (pos_m - origin[:, None, :]) / res[:, None, None]
@@ -270,10 +269,7 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     wx01 = jnp.tile(
         jnp.concatenate([pad_s(h0x), pad_s(h1x)], axis=1), (1, 1, PLANES)
     ).astype(jnp.bfloat16)
-    fx = jnp.broadcast_to(
-        pad_s(diff[..., 0:1]), (B, SP, nzp)
-    )  # fraction, same value in every lane (nzp lanes, not NP: the
-    # blend happens on the (SP, nzp) reduced columns)
+    fx = pad_s(diff[..., 0:1])  # (B, SP, 1): one x fraction per sample
     wyn = pad_s(wy_n)
     wyd = pad_s(wy_d) * inv_res
     wznt = pad_s(wz_n)
@@ -281,12 +277,12 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
     wzntx = wznt * inv_res  # carries the 1/res of the x derivative
 
     out = pl.pallas_call(
-        functools.partial(_kernel, nzp, zc, prec),
+        functools.partial(_kernel, nzp, zc),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 2 * SP, PLANES * NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SP, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

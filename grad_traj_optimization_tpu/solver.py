@@ -357,7 +357,6 @@ def solve_batch_kernel(
     :func:`solve_batch_fused` (BB + monotone acceptance) up to f32
     rounding.  No cost-trace recording — use the other paths for that.
     """
-    from grad_traj_optimization_tpu.core import poly
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
     from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
 
@@ -370,26 +369,32 @@ def solve_batch_kernel(
         wp
     )
     Df, dp0 = jax.vmap(qp.straight_line_d)(wp)  # (B,3,6), (B,3,P)
-    dep = jax.vmap(qp.build_dep)(T)
+    # the sample quadrature, bases and TL/TVL gradient chains come from
+    # penalty.build_ctx_batch — the single home of the reference's
+    # 30-sample/1e-3-offset quirk — NOT re-derived here
+    bctx = penalty.build_ctx_batch(T, Df, cfg)
+    dep = bctx.dep
     P = dp0.shape[2]
     ndim = 3 * m + 3
     K = cfg.n_samples
     S = m * K
 
-    k = jnp.arange(K, dtype=T.dtype)
-    ts = cfg.t_offset + k[None, None, :] * (T[:, :, None] / K)  # (B,m,K)
-    Tmat = poly.time_powers(ts)   # (B, m, K, 6)
-    TVmat = poly.vel_powers(ts)
-    Lseg = dep.L.reshape(B, m, 6, ndim)
-    apos = ein("bmkj,bmja->bmka", Tmat, Lseg).reshape(B, S, ndim)
-    avel = ein("bmkj,bmja->bmka", TVmat, Lseg).reshape(B, S, ndim)
+    # fixed-derivative part of the sampling chains (the dp part IS
+    # bctx.TL/TVL); apos = Tmat @ L over the full [Df | dp] stack
+    Lf_seg = dep.L.reshape(B, m, 6, ndim)[:, :, :, :6]
+    apos_f = ein("bmkj,bmja->bmka", bctx.Tmat, Lf_seg)  # (B, m, K, 6)
+    avel_f = ein("bmkj,bmja->bmka", bctx.TVmat, Lf_seg)
+    apos = jnp.concatenate([apos_f, bctx.TL], axis=-1).reshape(B, S, ndim)
+    avel = jnp.concatenate([avel_f, bctx.TVL], axis=-1).reshape(
+        B, S, ndim
+    )
     pad = sk.SP - S
     apos = jnp.pad(apos, ((0, 0), (0, pad), (0, 0)))
     avel = jnp.pad(avel, ((0, 0), (0, pad), (0, 0)))
     tlT = jnp.swapaxes(apos[:, :, 6:], 1, 2)   # (B, P, SP)
     tvlT = jnp.swapaxes(avel[:, :, 6:], 1, 2)
     dts = jnp.broadcast_to(
-        (T / K)[:, :, None], (B, m, K)
+        bctx.dt[:, :, None], (B, m, K)
     ).reshape(B, S, 1)
     dts = jnp.pad(dts, ((0, 0), (0, pad), (0, 0)))  # pads mask the tail
 

@@ -1,6 +1,7 @@
 """Pallas kernels in interpreter mode vs the jnp fallbacks."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from grad_traj_optimization_tpu.fields import sdf
@@ -26,3 +27,55 @@ def test_minplus_axis_matches():
                                                interpret=True))
     out_f = np.asarray(sdf._minplus_axis(jnp.asarray(g), 1))
     np.testing.assert_allclose(out_k, out_f, rtol=1e-6, atol=1e-3)
+
+
+def test_trilinear_fused_matches_mxu_per_sample():
+    """Direct per-sample parity of the fused Pallas lookup (interpret
+    mode) against sdf.trilinear_mxu on a REAL distance field, with
+    interior, map-edge (clamped corner), and out-of-map queries.
+
+    Tolerance: the fused kernel stores the grid as bf16 hi/mid planes
+    (~2^-17 relative value error — see trilinear_pallas.PLANES); on an
+    EDT bounded by the map diameter (~30 m) that is <= ~5e-4 m on d and
+    proportionally on gradients (1/res amplification)."""
+    import numpy as np
+    from grad_traj_optimization_tpu.fields import sdf
+    from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 100, 100, 25
+    res = 0.2
+    origin = jnp.asarray([-10.0, -10.0, 0.0], jnp.float32)
+    occ = (rng.random((nx, ny, nz)) < 0.002).astype(np.float32)
+    dist = sdf.edt(jnp.asarray(occ), res)  # real EDT incl. FREE caps
+    B, S = 3, 180
+
+    interior = rng.uniform(-9.5, 9.5, (B, S - 40, 3)) * [1, 1, 0.25]
+    edges = rng.uniform(-10.2, 10.2, (B, 20, 3))  # straddle the faces
+    oob = rng.uniform(11.0, 14.0, (B, 20, 3)) * rng.choice(
+        [-1.0, 1.0], (B, 20, 3)
+    )
+    pos = jnp.asarray(
+        np.concatenate([interior, edges, oob], axis=1), jnp.float32
+    )
+    grids = jnp.broadcast_to(dist, (B, nx, ny, nz))
+    orgs = jnp.broadcast_to(origin, (B, 3))
+    ress = jnp.full((B,), res, jnp.float32)
+
+    gp = tp.prep_grids(grids)
+    d_f, g_f = tp.trilinear_fused_prepped(
+        gp, (nx, ny, nz), orgs, ress, pos, interpret=True
+    )
+    d_m, g_m = jax.vmap(lambda g, o, r, p: sdf.trilinear_mxu(g, o, r, p))(
+        grids, orgs, ress, pos
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_f), np.asarray(d_m), atol=5e-4, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_m), atol=5e-3, rtol=2e-5
+    )
+    # out-of-map sentinel semantics are exact
+    d_oob = np.asarray(d_f)[:, -20:]
+    assert np.all(d_oob == -1.0)
+    assert np.all(np.asarray(g_f)[:, -20:] == 0.0)

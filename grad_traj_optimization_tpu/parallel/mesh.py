@@ -79,16 +79,34 @@ def sharded_solve(scenarios, mesh: Mesh, cfg=None, steps=(2,),
     ``scenarios`` leaves must have a leading batch axis divisible by the
     mesh's data-axis size.  Returns a Solution batch with the same
     sharding.
+
+    Implemented with ``jax.shard_map`` rather than jit auto-partitioning:
+    each device runs the full per-shard ``solve_batch`` — including the
+    Pallas fast paths (whole-descent kernel / fused lookup), which XLA
+    cannot partition across devices as custom calls.
     """
+    import functools
+
     from grad_traj_optimization_tpu import solver as solve_mod
     from grad_traj_optimization_tpu.config import OptimizerConfig
 
     if cfg is None:
         cfg = OptimizerConfig()
     scenarios = shard_scenarios(scenarios, mesh)
-    return solve_mod.solve_batch(
-        scenarios, cfg=cfg, steps=steps, record_trace=record_trace
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+        check_vma=False,
     )
+    def run(scn):
+        return solve_mod.solve_batch(
+            scn, cfg=cfg, steps=steps, record_trace=record_trace
+        )
+
+    return run(scenarios)
 
 
 def convergence_stats(solution):

@@ -132,7 +132,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
 def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
                   gp_ref, apos_ref, avel_ref, tlT_ref, tvlT_ref, rpp_ref,
                   cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
-                  misc_ref, odp_ref, osc_ref):
+                  misc_ref, odp_ref, osc_ref, otr_ref):
     """One scenario's complete multi-phase descent."""
     HI = jax.lax.Precision.HIGHEST
     apos = apos_ref[0]  # (SP, ndim)
@@ -188,9 +188,15 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
         return cost, grad
 
     # --- multi-phase BB descent (port of descent.minimize_batch) ---
+    total_iters = sum(it for _, it in phases)
+    tr_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, total_iters), 1
+    )
+    trace = jnp.zeros((1, total_iters), jnp.float32)
     dpT = jnp.clip(dp0T_ref[0], lbT, ubT)
     n_acc = jnp.zeros((), jnp.float32)
     cost = jnp.zeros(())
+    offset = 0
     for step, iters in phases:
         ws = 0.0 if step == 1 else cfg.w_smooth
         c0, g0 = cost_and_grad(dpT, ws)
@@ -199,8 +205,8 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
         scale = jnp.ones(())
         cost = c0
 
-        def body(_, state):
-            dpT, grad, lr, scale, cost, n_acc = state
+        def body(it, state, _off=offset):
+            dpT, grad, lr, scale, cost, n_acc, trace = state
             stepsz = lr * scale
             cand = jnp.clip(dpT - stepsz * grad, lbT, ubT)
             c2, g2 = cost_and_grad(cand, ws)
@@ -220,13 +226,18 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
             grad = jnp.where(acc, g2, grad)
             cost = jnp.where(acc, c2, cost)
             n_acc = n_acc + acc.astype(jnp.float32)
-            return dpT, grad, lr, scale, cost, n_acc
+            # monotone cost envelope (the reference's getCostCurve,
+            # grad_traj_optimizer.cpp:438-447) — one masked lane write
+            trace = jnp.where(tr_iota == _off + it, cost, trace)
+            return dpT, grad, lr, scale, cost, n_acc, trace
 
-        dpT, g0, lr, scale, cost, n_acc = jax.lax.fori_loop(
-            0, iters, body, (dpT, g0, lr, scale, cost, n_acc)
+        dpT, g0, lr, scale, cost, n_acc, trace = jax.lax.fori_loop(
+            0, iters, body, (dpT, g0, lr, scale, cost, n_acc, trace)
         )
+        offset += iters
 
     odp_ref[0] = dpT
+    otr_ref[0] = trace
     # pack scalars into lanes (no scatter: Mosaic has no TC lowering)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     osc_ref[0] = (
@@ -255,7 +266,8 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
       phases: tuple of (step, iters), e.g. ((2, 100),) or
         ((1, 40), (2, 100)).
     Returns:
-      dpT (B, P, 3), cost (B,), n_accept (B,) int32.
+      dpT (B, P, 3), cost (B,), n_accept (B,) int32,
+      cost_trace (B, total_iters) monotone envelope.
     """
     B = gp.shape[0]
     nx, ny, nz = grid_shape
@@ -263,12 +275,13 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
     nzp = tp._round_up(nz, zc)
     P = rpp.shape[1]
     ndim = apos.shape[2]
+    total_iters = sum(it for _, it in phases)
 
     spec = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
-    odp, osc = pl.pallas_call(
+    odp, osc, otr = pl.pallas_call(
         functools.partial(
             _solve_kernel, grid_shape, nzp, zc, phases, cfg
         ),
@@ -288,10 +301,11 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
             spec((6, 3)),
             spec((1, 8)),
         ],
-        out_specs=[spec((P, 3)), spec((1, 8))],
+        out_specs=[spec((P, 3)), spec((1, 8)), spec((1, total_iters))],
         out_shape=[
             jax.ShapeDtypeStruct((B, P, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, total_iters), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -299,4 +313,9 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
         interpret=interpret,
     )(gp, apos, avel, tlT, tvlT, rpp, cgt, lbT, ubT, dp0T, dts, dfT,
       misc)
-    return odp, osc[:, 0, 0], osc[:, 0, 1].astype(jnp.int32)
+    return (
+        odp,
+        osc[:, 0, 0],
+        osc[:, 0, 1].astype(jnp.int32),
+        otr[:, 0, :],
+    )

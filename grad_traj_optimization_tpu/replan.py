@@ -128,11 +128,20 @@ def replan_loop(
     """Run the receding-horizon loop until the goal (or max_ticks).
 
     Args:
+      start_state: (6,) = [position, velocity].
+      goal: (6,) = [position, velocity] (end velocity usually zero).
       obstacle_update: optional ``f(t) -> (histories, times, scales)``
         refreshing pose histories each tick (simulating the ROS feeds).
     Returns:
       list of TickResult.
     """
+    start_state = np.asarray(start_state, np.float64)
+    goal = np.asarray(goal, np.float64)
+    if start_state.shape != (6,) or goal.shape != (6,):
+        raise ValueError(
+            "replan_loop expects start_state and goal as (6,) [p, v] "
+            f"vectors; got {start_state.shape} and {goal.shape}"
+        )
     origin = jnp.asarray(origin, jnp.float32)
     state = np.asarray(start_state, np.float64).copy()
     goal = np.asarray(goal, np.float64)

@@ -46,6 +46,17 @@ class CaseRecord:
         return json.dumps(d)
 
 
+def _resample_polyline(pts, n):
+    """Arc-length resample a polyline to exactly n points (ends kept)."""
+    pts = np.asarray(pts, np.float64)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    si = np.linspace(0.0, s[-1], n)
+    return np.stack(
+        [np.interp(si, s, pts[:, k]) for k in range(3)], axis=-1
+    )
+
+
 def run_case(
     case_id,
     dist_grid,
@@ -57,8 +68,16 @@ def run_case(
     rdp_epsilon: float = 0.4,
     clearance: float = 0.4,
     steps=(2,),
+    n_waypoints: int | None = None,
 ) -> CaseRecord:
-    """Front-end (wavefront search + RDP waypoints) then back-end solve."""
+    """Front-end (wavefront search + RDP waypoints) then back-end solve.
+
+    ``n_waypoints``: resample the RDP polyline to a fixed waypoint count
+    so every case of a suite reuses ONE compiled solve.  With the
+    default (None, reference-faithful variable counts) each distinct
+    count pays its own jit compile — fine for a handful of cases,
+    dominant for large suites.
+    """
     origin = jnp.asarray(origin, jnp.float32)
 
     t0 = time.perf_counter()
@@ -76,6 +95,8 @@ def run_case(
         waypoints = np.stack(
             [path[0], 0.5 * (path[0] + path[-1]), path[-1]]
         )
+    if n_waypoints is not None:
+        waypoints = _resample_polyline(waypoints, n_waypoints)
 
     scn = solve_mod.Scenario(
         dist=dist_grid,

@@ -158,3 +158,83 @@ def random_scenarios(
         all_wps[i] = np.stack([x, y, z], axis=-1)
 
     return map_cfg, all_pts, valid, all_wps
+
+
+def random_scenarios_device(key, n: int, n_waypoints: int = 7,
+                            n_boxes: int = 8,
+                            map_cfg: MapConfig | None = None):
+    """Device-side random scenario batch: occupancy + waypoints from a
+    JAX PRNG key, no host generation or obstacle-point transfer.
+
+    The box distribution mirrors :func:`random_scenarios` (random-map
+    benchmark config): ``n_boxes`` axis-aligned pillars of 0.4-1.6 m
+    footprint and 2-5 m height in the central 12x12 m, plus a jittered
+    straight corridor of waypoints.  Boxes rasterize by direct voxel
+    coordinate comparison — a dense (n, nx, ny, nz) mask per box,
+    accumulated over the small box count — so a pod-scale Monte-Carlo
+    never ships point lists over the host link.
+
+    Returns (occupancy (n, nx, ny, nz) f32, waypoints (n, n_wp, 3) f32).
+    Build distances with ``sdf.edt_batch(occ, map_cfg.resolution)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if map_cfg is None:
+        map_cfg = MapConfig(
+            origin=(-10.0, -10.0, 0.0),
+            resolution=0.2,
+            map_size=(20.0, 20.0, 5.0),
+        )
+    nx, ny, nz = map_cfg.grid_shape
+    res = map_cfg.resolution
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+
+    kc, ks, kh, kx, kz = jax.random.split(key, 5)
+    centers = jax.random.uniform(
+        kc, (n, n_boxes, 2), minval=-6.0, maxval=6.0
+    )
+    sizes = jax.random.uniform(
+        ks, (n, n_boxes, 2), minval=0.4, maxval=1.6
+    )
+    heights = jax.random.uniform(
+        kh, (n, n_boxes), minval=2.0, maxval=5.0
+    )
+
+    # voxel-center coordinates per axis
+    cx = origin[0] + (jnp.arange(nx, dtype=jnp.float32) + 0.5) * res
+    cy = origin[1] + (jnp.arange(ny, dtype=jnp.float32) + 0.5) * res
+    cz = origin[2] + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * res
+
+    def add_box(occ, b):
+        inx = (
+            (cx[None, :] >= (centers[:, b, 0] - sizes[:, b, 0] / 2)[:, None])
+            & (cx[None, :] <= (centers[:, b, 0] + sizes[:, b, 0] / 2)[:, None])
+        )  # (n, nx)
+        iny = (
+            (cy[None, :] >= (centers[:, b, 1] - sizes[:, b, 1] / 2)[:, None])
+            & (cy[None, :] <= (centers[:, b, 1] + sizes[:, b, 1] / 2)[:, None])
+        )
+        inz = cz[None, :] <= heights[:, b, None]  # (n, nz)
+        mask = (
+            inx[:, :, None, None]
+            & iny[:, None, :, None]
+            & inz[:, None, None, :]
+        )
+        return jnp.maximum(occ, mask.astype(jnp.float32))
+
+    occ = jnp.zeros((n, nx, ny, nz), jnp.float32)
+    for b in range(n_boxes):
+        occ = add_box(occ, b)
+
+    y = jnp.linspace(-7.0, 7.0, n_waypoints)
+    wx = jax.random.uniform(
+        kx, (n, n_waypoints), minval=-1.5, maxval=1.5
+    )
+    wz = jax.random.uniform(
+        kz, (n, n_waypoints), minval=1.5, maxval=3.0
+    )
+    wps = jnp.stack(
+        [wx, jnp.broadcast_to(y[None], (n, n_waypoints)), wz], axis=-1
+    )
+    return occ, wps

@@ -56,26 +56,31 @@ def main():
         print(json.dumps(
             {"resumed_at": int(state["done"])}), flush=True)
 
-    map_cfg = None
+    from grad_traj_optimization_tpu.config import MapConfig
+
+    map_cfg = MapConfig(
+        origin=(-10.0, -10.0, 0.0), resolution=0.2,
+        map_size=(20.0, 20.0, 5.0),
+    )
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    res = map_cfg.resolution
+
+    @jax.jit
+    def gen_chunk(key):
+        # fully on-device: PRNG boxes -> occupancy -> EDT (no host
+        # generation, no obstacle-point transfer over the link)
+        occ, wps = fixtures.random_scenarios_device(
+            key, chunk, n_waypoints=7, map_cfg=map_cfg
+        )
+        return sdf.edt_batch(occ, res), wps
+
     t0 = time.perf_counter()
     t_solve = 0.0
     ck = int(state["done"]) // chunk
     while int(state["done"]) < n_total:
-        seed = 1000 + ck  # deterministic per chunk -> resumable
-        map_cfg, pts, valid, wps = fixtures.random_scenarios(
-            chunk, n_waypoints=7, seed=seed, max_obstacle_points=4096,
-            map_cfg=map_cfg,
-        )
-        origin = jnp.asarray(map_cfg.origin, jnp.float32)
-        res = map_cfg.resolution
-
         ts = time.perf_counter()
-        occ = jax.vmap(
-            lambda p, v: sdf.rasterize(
-                p, origin, res, map_cfg.grid_shape, valid_mask=v
-            )
-        )(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
-        dist = sdf.edt_batch(occ, res)
+        # deterministic per chunk -> resumable
+        dist, wps = gen_chunk(jax.random.key(1000 + ck))
         scns = solve_mod.Scenario(
             dist=dist,
             origin=jnp.broadcast_to(origin, (chunk, 3)),

@@ -132,3 +132,20 @@ def test_profiling_helpers():
 
     r, t = profiling.sync_time(lambda x: x * 2, jnp.ones((8, 8)), n=2)
     assert t >= 0 and float(r[0, 0]) == 2.0
+
+
+def test_random_scenarios_device_deterministic_and_bounded():
+    import jax
+    import jax.numpy as jnp
+    from grad_traj_optimization_tpu import fixtures
+
+    occ1, wps1 = fixtures.random_scenarios_device(jax.random.key(3), 4)
+    occ2, wps2 = fixtures.random_scenarios_device(jax.random.key(3), 4)
+    assert occ1.shape == (4, 100, 100, 25)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+    np.testing.assert_array_equal(np.asarray(wps1), np.asarray(wps2))
+    frac = float(jnp.mean(occ1))
+    assert 0.001 < frac < 0.1  # plausible obstacle density
+    w = np.asarray(wps1)
+    assert w[..., 0].min() >= -1.5 and w[..., 0].max() <= 1.5
+    assert w[..., 2].min() >= 1.5 and w[..., 2].max() <= 3.0

@@ -48,9 +48,13 @@ def minplus_lines(f, interpret: bool = False):
       f: (B, n) float32 squared distances (cell units).
     """
     B, n = f.shape
-    TB = 8
     # q-tile: keep the (TB, TQ, n) reduction tensor within a VMEM budget
     TQ = 128 if n <= 1024 else 64
+    # lines per grid instance: a large batch of short lines (the common
+    # Monte-Carlo case: B ~ 2.5M lines of n ~ 100) is otherwise
+    # per-instance-overhead-bound; grow TB until the (TB, TQ, n)
+    # broadcast intermediate reaches ~4 MB of the raised VMEM budget.
+    TB = max(8, min(256, ((4 << 20) // max(TQ * n * 4, 1)) // 8 * 8))
     npad = _round_up(n, 128)
     Bp = _round_up(B, TB)
     qpad = _round_up(n, TQ)
@@ -79,6 +83,9 @@ def minplus_lines(f, interpret: bool = False):
             (TB, TQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, qpad), f.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(fp, sq)
     return out[:B, :n]

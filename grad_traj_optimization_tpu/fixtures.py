@@ -206,26 +206,23 @@ def random_scenarios_device(key, n: int, n_waypoints: int = 7,
     cy = origin[1] + (jnp.arange(ny, dtype=jnp.float32) + 0.5) * res
     cz = origin[2] + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * res
 
-    def add_box(occ, b):
-        inx = (
-            (cx[None, :] >= (centers[:, b, 0] - sizes[:, b, 0] / 2)[:, None])
-            & (cx[None, :] <= (centers[:, b, 0] + sizes[:, b, 0] / 2)[:, None])
-        )  # (n, nx)
-        iny = (
-            (cy[None, :] >= (centers[:, b, 1] - sizes[:, b, 1] / 2)[:, None])
-            & (cy[None, :] <= (centers[:, b, 1] + sizes[:, b, 1] / 2)[:, None])
-        )
-        inz = cz[None, :] <= heights[:, b, None]  # (n, nz)
-        mask = (
-            inx[:, :, None, None]
-            & iny[:, None, :, None]
-            & inz[:, None, None, :]
-        )
-        return jnp.maximum(occ, mask.astype(jnp.float32))
-
-    occ = jnp.zeros((n, nx, ny, nz), jnp.float32)
-    for b in range(n_boxes):
-        occ = add_box(occ, b)
+    # every box is a ground-based pillar, so their union is exactly a
+    # per-(x, y) max-height field: one full-volume comparison instead of
+    # one 3-D mask per box (the full-volume traffic dominates)
+    inx = (
+        (cx[None, None, :] >= (centers[..., 0] - sizes[..., 0] / 2)[..., None])
+        & (cx[None, None, :] <= (centers[..., 0] + sizes[..., 0] / 2)[..., None])
+    )  # (n, n_boxes, nx)
+    iny = (
+        (cy[None, None, :] >= (centers[..., 1] - sizes[..., 1] / 2)[..., None])
+        & (cy[None, None, :] <= (centers[..., 1] + sizes[..., 1] / 2)[..., None])
+    )  # (n, n_boxes, ny)
+    cover_h = (
+        inx[:, :, :, None]
+        & iny[:, :, None, :]
+    ).astype(jnp.float32) * heights[:, :, None, None]  # (n, nb, nx, ny)
+    H = jnp.max(cover_h, axis=1)  # (n, nx, ny) pillar height per column
+    occ = (cz[None, None, None, :] <= H[..., None]).astype(jnp.float32)
 
     y = jnp.linspace(-7.0, 7.0, n_waypoints)
     wx = jax.random.uniform(

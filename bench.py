@@ -99,6 +99,32 @@ def main():
     sync1(last)
     amortized_ms = (time.perf_counter() - t0) / K * 1e3
 
+    # ---- turbo config: dual-seed racing + nonmonotone acceptance ----
+    # Same 100-evaluation budget as the reference config (70 from the
+    # reference straight-line seed + 30 from the closed-form min-snap
+    # seed, per-lane best kept), measured ~0.50x geomean final cost on
+    # this scenario distribution.  Reported as solution-quality ratios
+    # against the reference-config solutions from the same run.
+    import dataclasses
+
+    turbo_cfg = dataclasses.replace(
+        cfg, accept_window=8, seed_mode="dual", iters_step2=70,
+        dual_ms_iters=30,
+    )
+    run_t = lambda: solve_mod.solve_batch(
+        scns, cfg=turbo_cfg, steps=(2,), record_trace=False
+    )
+    sols_t = run_t()
+    sync(sols_t)
+    times_t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run_t())
+        times_t.append(time.perf_counter() - t0)
+    t_turbo = min(times_t)
+    ratio = np.asarray(sols_t.cost) / np.asarray(sols.cost)
+    ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+
     n_ok = int(jnp.sum(sols.status == 0))
     baseline_solves_per_s = 10.0  # reference: ~0.1 s/solve budget
     print(
@@ -116,6 +142,13 @@ def main():
                 "edt_builds_warm_s": round(t_edt_warm, 3),
                 "edt_builds_per_s": round(BATCH / t_edt_warm, 1),
                 "n_status_ok": n_ok,
+                "turbo_solves_per_s": round(BATCH / t_turbo, 2),
+                "turbo_cost_geomean_ratio": round(
+                    float(np.exp(np.mean(np.log(ratio)))), 4
+                ),
+                "turbo_cost_p99_ratio": round(
+                    float(np.percentile(ratio, 99)), 3
+                ),
                 "device": str(jax.devices()[0]),
             }
         )

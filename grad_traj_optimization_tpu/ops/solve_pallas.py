@@ -65,10 +65,12 @@ def supports(grid_shape, n_samples: int, num_dp: int, cfg) -> bool:
         and 1 <= num_dp <= 128  # m = 1 (two waypoints) has no free dp
         and cfg.step_rule == "bb"
         and cfg.lookup_precision == "highest"
+        and 1 <= cfg.accept_window <= 128  # hist rides one lane vector
     )
 
 
-def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
+def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
+            ablate: frozenset = frozenset()):
     """In-kernel trilinear distance+gradient for pos (SP, 3).
 
     Same math as trilinear_pallas._kernel, with the one-hot corner
@@ -120,7 +122,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
 
     d, gx, gy, gz = tp.lookup_core(
         grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
-        nzp, zc,
+        nzp, zc, ablate=ablate,
     )
 
     okf = ok.astype(jnp.float32)
@@ -129,7 +131,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc):
     return d, g
 
 
-def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
+def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate,
                   gp_ref, apos_ref, avel_ref, tlT_ref, tvlT_ref, rpp_ref,
                   cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
                   misc_ref, odp_ref, osc_ref, otr_ref):
@@ -164,22 +166,46 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
                 grad = grad + cfg.grad_eps
             return cost, grad
 
-        pos = jnp.dot(apos, d_full, precision=HI)  # (SP, 3)
-        vel = jnp.dot(avel, d_full, precision=HI)
-        d, g = _lookup(gp_ref, pos, misc, grid_shape, nzp, zc)
+        # ablate gates: profiling stand-ins of the same output shape
+        # that keep the data dependence on the candidate (see
+        # descend_fused docstring); results are WRONG under ablation.
+        if "qpdots" in ablate:
+            sc = 1.0 + jnp.sum(d_full) * 1e-9
+            pos = apos[:, 0:3] * sc  # (SP, 3)
+            vel = avel[:, 0:3] * sc
+        else:
+            pos = jnp.dot(apos, d_full, precision=HI)  # (SP, 3)
+            vel = jnp.dot(avel, d_full, precision=HI)
+        if "lookup" in ablate:
+            d = 1.0 + jnp.sum(pos, axis=1, keepdims=True) * 1e-3
+            g = pos * 1e-3
+        else:
+            d, g = _lookup(
+                gp_ref, pos, misc, grid_shape, nzp, zc, ablate=ablate
+            )
 
-        cd = cfg.alpha * jnp.exp(-(d - cfg.d0) / cfg.r)  # (SP, 1)
+        if "exp" in ablate:
+            cd = cfg.alpha * (1.0 - (d - cfg.d0) / cfg.r)  # (SP, 1)
+        else:
+            cd = cfg.alpha * jnp.exp(-(d - cfg.d0) / cfg.r)  # (SP, 1)
         gd = -cd / cfg.r
-        vn = jnp.sqrt(jnp.sum(vel * vel, axis=1, keepdims=True)) + (
-            cfg.vel_eps
-        )
+        if "sqrt" in ablate:
+            vn = jnp.sum(vel * vel, axis=1, keepdims=True) + cfg.vel_eps
+        else:
+            vn = jnp.sqrt(jnp.sum(vel * vel, axis=1, keepdims=True)) + (
+                cfg.vel_eps
+            )
         cost_c = jnp.sum(cd * vn * dts)
         w_dist = gd * cd * vn if ref_grad else gd * vn
         w1 = (w_dist * dts) * g          # (SP, 3)
         w2 = ((cd / vn) * dts) * vel
-        grad_c = jnp.dot(tlT, w1, precision=HI) + jnp.dot(
-            tvlT, w2, precision=HI
-        )  # (P, 3)
+        P = tlT.shape[0]
+        if "graddots" in ablate:
+            grad_c = w1[:P] + w2[:P]  # (P, 3) sublane slice
+        else:
+            grad_c = jnp.dot(tlT, w1, precision=HI) + jnp.dot(
+                tvlT, w2, precision=HI
+            )  # (P, 3)
 
         cost = ws * cost_s + cfg.w_collision * cost_c + cfg.cost_eps
         grad = ws * grad_s + cfg.w_collision * grad_c
@@ -189,9 +215,11 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
 
     # --- multi-phase BB descent (port of descent.minimize_batch) ---
     total_iters = sum(it for _, it in phases)
+    W = cfg.accept_window
     tr_iota = jax.lax.broadcasted_iota(
         jnp.int32, (1, total_iters), 1
     )
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     trace = jnp.zeros((1, total_iters), jnp.float32)
     dpT = jnp.clip(dp0T_ref[0], lbT, ubT)
     n_acc = jnp.zeros((), jnp.float32)
@@ -204,13 +232,19 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
         lr = cfg.lr0 / (gnorm + 1e-12)
         scale = jnp.ones(())
         cost = c0
+        # nonmonotone acceptance state (descent.py semantics): hist of
+        # the last W accepted costs on lanes, best iterate carried
+        # separately.  W = 1 reproduces the strict monotone rule.
+        hist = jnp.full((1, W), c0)
+        ptr = jnp.zeros((), jnp.int32)
 
         def body(it, state, _off=offset):
-            dpT, grad, lr, scale, cost, n_acc, trace = state
+            (dpT, grad, lr, scale, hist, ptr, cost, best_dpT,
+             n_acc, trace) = state
             stepsz = lr * scale
             cand = jnp.clip(dpT - stepsz * grad, lbT, ubT)
             c2, g2 = cost_and_grad(cand, ws)
-            acc = c2 < cost
+            acc = c2 < jnp.max(hist)
             s = cand - dpT
             y = g2 - grad
             sy = jnp.sum(s * y)
@@ -222,18 +256,27 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
             lr = jnp.where(acc, lr_bb, lr)
             scale = jnp.where(acc, 1.0, scale * cfg.lr_shrink)
             scale = jnp.maximum(scale, 1e-8)
+            hist = jnp.where(acc & (w_iota == ptr), c2, hist)
+            ptr = jnp.where(acc, jax.lax.rem(ptr + 1, W), ptr)
+            imp = c2 < cost
+            best_dpT = jnp.where(imp, cand, best_dpT)
+            cost = jnp.where(imp, c2, cost)
             dpT = jnp.where(acc, cand, dpT)
             grad = jnp.where(acc, g2, grad)
-            cost = jnp.where(acc, c2, cost)
             n_acc = n_acc + acc.astype(jnp.float32)
-            # monotone cost envelope (the reference's getCostCurve,
+            # monotone best-cost envelope (the reference's getCostCurve,
             # grad_traj_optimizer.cpp:438-447) — one masked lane write
-            trace = jnp.where(tr_iota == _off + it, cost, trace)
-            return dpT, grad, lr, scale, cost, n_acc, trace
+            if "trace" not in ablate:
+                trace = jnp.where(tr_iota == _off + it, cost, trace)
+            return (dpT, grad, lr, scale, hist, ptr, cost, best_dpT,
+                    n_acc, trace)
 
-        dpT, g0, lr, scale, cost, n_acc, trace = jax.lax.fori_loop(
-            0, iters, body, (dpT, g0, lr, scale, cost, n_acc, trace)
+        (dpT, g0, lr, scale, hist, ptr, cost, best_dpT, n_acc,
+         trace) = jax.lax.fori_loop(
+            0, iters, body,
+            (dpT, g0, lr, scale, hist, ptr, cost, dpT, n_acc, trace),
         )
+        dpT = best_dpT  # next phase (and outputs) start from the best
         offset += iters
 
     odp_ref[0] = dpT
@@ -248,11 +291,13 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_shape", "phases", "cfg", "interpret"),
+    static_argnames=("grid_shape", "phases", "cfg", "interpret",
+                     "ablate"),
 )
 def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
                   lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
-                  interpret: bool = False):
+                  interpret: bool = False,
+                  ablate: frozenset = frozenset()):
     """Run the whole multi-phase descent in one Pallas call.
 
     Args (leading batch axis B on all arrays):
@@ -265,6 +310,12 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
       dfT: (B, 6, 3); misc: (B, 1, 8) = [origin, res, c_ff, 0...].
       phases: tuple of (step, iters), e.g. ((2, 100),) or
         ((1, 40), (2, 100)).
+      ablate: PROFILING ONLY — frozenset of kernel pieces to replace
+        with same-shape cheap stand-ins ("qpdots", "lookup", "xdot",
+        "yreduce", "exp", "sqrt", "graddots", "trace").  Results are
+        numerically WRONG under ablation; wall-time deltas vs the full
+        kernel attribute the per-iteration cost (scripts/
+        profile_kernel_ablate.py).
     Returns:
       dpT (B, P, 3), cost (B,), n_accept (B,) int32,
       cost_trace (B, total_iters) monotone envelope.
@@ -283,7 +334,7 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
     )
     odp, osc, otr = pl.pallas_call(
         functools.partial(
-            _solve_kernel, grid_shape, nzp, zc, phases, cfg
+            _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate
         ),
         grid=(B,),
         in_specs=[

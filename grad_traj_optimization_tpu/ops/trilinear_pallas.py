@@ -108,7 +108,7 @@ def prep_grids(grids):
 
 
 def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
-                nzp: int, zc: int):
+                nzp: int, zc: int, ablate: frozenset = frozenset()):
     """The shared trilinear contraction both Pallas kernels run.
 
     Args (in-kernel values for ONE scenario):
@@ -131,16 +131,33 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
     immediately — in one stacked op per chunk — and the x-fraction
     blend happens on the reduced (SP, nzp) columns (blend and reduction
     commute): a blended (SP, zc, NP) tensor next to X would overflow
-    the Mosaic VMEM stack."""
+    the Mosaic VMEM stack.
+
+    ``ablate`` (profiling only — WRONG results): "xdot" replaces the
+    MXU contraction with a broadcast add of the same output shape;
+    "yreduce" replaces the lane reductions with lane slices.  Time
+    attribution = full kernel wall time minus the ablated variant's."""
     prec = jax.lax.Precision.DEFAULT
     wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
     wyd2 = jnp.concatenate([wyd, wyd], axis=0)
     sn_p, sd_p = [], []
     for zb in range(nzp // zc):
         Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
-        X = jnp.dot(
-            wx01, Gb, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(2 * SP, zc, NP)
+        if "xdot" in ablate:
+            X = jnp.broadcast_to(
+                Gb[0:1, :].astype(jnp.float32).reshape(1, zc, NP) * 1e-3
+                + wx01[:, 0:1, None].astype(jnp.float32),
+                (2 * SP, zc, NP),
+            )
+        else:
+            X = jnp.dot(
+                wx01, Gb, preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(2 * SP, zc, NP)
+        if "yreduce" in ablate:
+            sn_p.append(X[:, :, 0] * wyn2[:, 0, 0:1])  # (2*SP, zc)
+            sd_p.append(X[:, :, 1] * wyd2[:, 0, 0:1])
+            continue
         sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
         sd_p.append(jnp.sum(X * wyd2, axis=2))
 

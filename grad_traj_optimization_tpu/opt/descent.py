@@ -19,6 +19,20 @@ from the wall clock — grad_traj_optimizer.cpp:135-195).  Design choices:
 The monotone best-cost envelope the reference records per NLopt iteration
 (``getCostCurve``, grad_traj_optimizer.cpp:438-447) falls out of the
 acceptance rule: the cost trace here is non-increasing by construction.
+
+``cfg.accept_window > 1`` switches to Grippo-style **nonmonotone**
+acceptance: a candidate passes if it beats the max of the last
+``accept_window`` accepted costs, letting BB steps ride through small
+cost bumps (the spectral step is only optimal asymptotically; strict
+monotonicity is known to cripple it).  The best iterate is tracked
+separately, so the returned dp/cost and the recorded envelope stay
+monotone-best.  Measured (B=512 random scenarios, same eval count):
+window 8 reaches geomean 0.85x the monotone rule's 100-iteration cost.
+
+Preconditioning with the smoothness Hessian metric (Rpp eig-space,
+Levenberg-Marquardt damped) was prototyped and measured 4-15x WORSE at
+equal budgets (scripts/proto_precond.py): the collision term owns the
+curvature in exactly the directions Rpp^-1 amplifies.  Don't redo.
 """
 
 from __future__ import annotations
@@ -56,6 +70,7 @@ def minimize(
     dp0 = jnp.clip(jnp.asarray(dp0), lb, ub)
     lr0 = jnp.asarray(cfg.lr0, dtype=dp0.dtype)
     use_bb = cfg.step_rule == "bb"
+    W = cfg.accept_window
 
     # One fused cost+grad evaluation per iteration: the gradient comes out
     # of the same eval that scores the candidate, and is cached across
@@ -68,15 +83,19 @@ def minimize(
     # "bb" uses the Barzilai-Borwein spectral step
     # |<s, y>| / <y, y> from the last *accepted* (s = delta dp,
     # y = delta grad) pair, scaled down multiplicatively while rejected.
+    #
+    # Acceptance compares against the max of the last W accepted costs
+    # (hist ring); W = 1 is exactly the strict monotone rule.  The best
+    # iterate is carried separately so outputs stay monotone-best.
     def body(state, _):
-        dp, grad, lr, scale, cost, n_acc = state
+        dp, grad, lr, scale, hist, ptr, best_c, best_dp, n_acc = state
         if use_bb:
             step = lr * scale
         else:
             step = lr / (jnp.linalg.norm(grad) + 1e-12)
         cand = jnp.clip(dp - step * grad, lb, ub)
         c2, g2 = cost_and_grad(cand)
-        accept = c2 < cost
+        accept = c2 < jnp.max(hist)
 
         if use_bb:
             s = cand - dp
@@ -92,12 +111,20 @@ def minimize(
             lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
             lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
 
+        hist = jnp.where(
+            accept & (jnp.arange(W) == ptr), c2, hist
+        )
+        ptr = jnp.where(accept, (ptr + 1) % W, ptr)
+        improved = c2 < best_c
+        best_dp = jnp.where(improved, cand, best_dp)
+        best_c = jnp.where(improved, c2, best_c)
+
         dp = jnp.where(accept, cand, dp)
         grad = jnp.where(accept, g2, grad)
-        cost = jnp.where(accept, c2, cost)
         n_acc = n_acc + accept.astype(jnp.int32)
-        out = cost if record_trace else None
-        return (dp, grad, lr, scale, cost, n_acc), out
+        out = best_c if record_trace else None
+        return (dp, grad, lr, scale, hist, ptr, best_c, best_dp,
+                n_acc), out
 
     c0, g0 = cost_and_grad(dp0)
     if use_bb:
@@ -105,10 +132,11 @@ def minimize(
     else:
         lr_init = lr0
     init = (
-        dp0, g0, lr_init, jnp.ones((), dp0.dtype), c0,
-        jnp.zeros((), jnp.int32),
+        dp0, g0, lr_init, jnp.ones((), dp0.dtype),
+        jnp.full((W,), c0, dp0.dtype), jnp.zeros((), jnp.int32),
+        c0, dp0, jnp.zeros((), jnp.int32),
     )
-    (dp, _, _, _, cost, n_acc), trace = jax.lax.scan(
+    (_, _, _, _, _, _, cost, dp, n_acc), trace = jax.lax.scan(
         body, init, None, length=iters
     )
     if not record_trace:
@@ -135,19 +163,20 @@ def minimize_batch(
     dp0 = jnp.clip(jnp.asarray(dp0), lb, ub)
     B = dp0.shape[0]
     use_bb = cfg.step_rule == "bb"
+    W = cfg.accept_window
 
     def norms(g):
         return jnp.sqrt(jnp.sum(g * g, axis=(1, 2), keepdims=True))
 
     def body(state, _):
-        dp, grad, lr, scale, cost, n_acc = state
+        dp, grad, lr, scale, hist, ptr, best_c, best_dp, n_acc = state
         if use_bb:
             step = (lr * scale)[:, None, None]
         else:
             step = lr[:, None, None] / (norms(grad) + 1e-12)
         cand = jnp.clip(dp - step * grad, lb, ub)
         c2, g2 = cost_and_grad(cand)
-        accept = c2 < cost  # (B,)
+        accept = c2 < jnp.max(hist, axis=1)  # (B,)
         am = accept[:, None, None]
 
         if use_bb:
@@ -166,12 +195,21 @@ def minimize_batch(
             lr = jnp.where(accept, lr * cfg.lr_grow, lr * cfg.lr_shrink)
             lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
 
+        hist = jnp.where(
+            accept[:, None] & (jnp.arange(W)[None, :] == ptr[:, None]),
+            c2[:, None], hist,
+        )
+        ptr = jnp.where(accept, (ptr + 1) % W, ptr)
+        improved = c2 < best_c
+        best_dp = jnp.where(improved[:, None, None], cand, best_dp)
+        best_c = jnp.where(improved, c2, best_c)
+
         dp = jnp.where(am, cand, dp)
         grad = jnp.where(am, g2, grad)
-        cost = jnp.where(accept, c2, cost)
         n_acc = n_acc + accept.astype(jnp.int32)
-        out = cost if record_trace else None
-        return (dp, grad, lr, scale, cost, n_acc), out
+        out = best_c if record_trace else None
+        return (dp, grad, lr, scale, hist, ptr, best_c, best_dp,
+                n_acc), out
 
     c0, g0 = cost_and_grad(dp0)
     if use_bb:
@@ -179,10 +217,12 @@ def minimize_batch(
     else:
         lr_init = jnp.full((B,), cfg.lr0, dp0.dtype)
     init = (
-        dp0, g0, lr_init, jnp.ones((B,), dp0.dtype), c0,
+        dp0, g0, lr_init, jnp.ones((B,), dp0.dtype),
+        jnp.broadcast_to(c0[:, None], (B, W)),
+        jnp.zeros((B,), jnp.int32), c0, dp0,
         jnp.zeros((B,), jnp.int32),
     )
-    (dp, _, _, _, cost, n_acc), trace = jax.lax.scan(
+    (_, _, _, _, _, _, cost, dp, n_acc), trace = jax.lax.scan(
         body, init, None, length=iters
     )
     if record_trace:

@@ -271,6 +271,13 @@ class GoldenOptimizer:
             waypoints, self.cfg.mean_v, self.cfg.init_time
         )
         self.deps = GoldenDeps(self.times)
+        if getattr(self.cfg, "seed_mode", "reference") == "min_snap":
+            # closed-form smoothness optimum dp* = -Rpp^-1 Rfp^T df
+            # (core/qp.min_snap_dp; clipped to bounds in optimize())
+            self.Dp0 = np.linalg.solve(
+                self.deps.Rpp[None].repeat(3, axis=0),
+                -(self.Df @ self.deps.Rfp)[..., None],
+            )[..., 0]
         self.V = np.zeros((6, 6))
         for i in range(5):
             self.V[i, i + 1] = i + 1
@@ -358,17 +365,23 @@ class GoldenOptimizer:
         lb, ub = self.bounds()
         dp = np.clip(dp, lb, ub)
         use_bb = getattr(cfg, "step_rule", "adaptive") == "bb"
+        W = getattr(cfg, "accept_window", 1)
         for step in steps:
             iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
             # fused scheme (must mirror opt/descent.py): one cost+grad per
             # iteration, gradient cached across rejections; step rule is
-            # either multiplicative-adaptive or Barzilai-Borwein
+            # either multiplicative-adaptive or Barzilai-Borwein;
+            # acceptance compares against the max of the last W accepted
+            # costs (W = 1: strict monotone), best iterate returned
             cost, g = self.cost_and_grad(dp, step)
             lr = (
                 cfg.lr0 / (np.linalg.norm(g) + 1e-12)
                 if use_bb else cfg.lr0
             )
             scale = 1.0
+            hist = np.full(W, cost)
+            ptr = 0
+            best_c, best_dp = cost, dp.copy()
             for _ in range(iters):
                 if use_bb:
                     stepsz = lr * scale
@@ -376,7 +389,7 @@ class GoldenOptimizer:
                     stepsz = lr / (np.linalg.norm(g) + 1e-12)
                 cand = np.clip(dp - stepsz * g, lb, ub)
                 c2, g2 = self.cost_and_grad(cand, step)
-                accept = c2 < cost
+                accept = c2 < hist.max()
                 if use_bb:
                     if accept:
                         s = cand - dp
@@ -392,8 +405,13 @@ class GoldenOptimizer:
                         lr = min(lr * cfg.lr_grow, cfg.lr_max)
                     else:
                         lr = max(lr * cfg.lr_shrink, cfg.lr_min)
+                if c2 < best_c:
+                    best_c, best_dp = c2, cand.copy()
                 if accept:
-                    dp, cost, g = cand, c2, g2
+                    hist[ptr] = c2
+                    ptr = (ptr + 1) % W
+                    dp, g = cand, g2
+            dp = best_dp
         return dp, self.coeff_from_d(dp)
 
     def cost_only(self, dp, step=2):

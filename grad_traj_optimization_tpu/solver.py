@@ -13,6 +13,7 @@ jitted once per (grid shape, waypoint count, config) and scaled with
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -84,6 +85,56 @@ def make_scenario(
     )
 
 
+def _dual_arm_cfgs(cfg: OptimizerConfig):
+    """The two arm configs of seed_mode='dual' (see OptimizerConfig)."""
+    cfg_a = dataclasses.replace(cfg, seed_mode="reference")
+    cfg_b = dataclasses.replace(
+        cfg,
+        seed_mode="min_snap",
+        iters_step2=cfg.dual_ms_iters or cfg.iters_step2,
+    )
+    return cfg_a, cfg_b
+
+
+def _combine_dual(sa: Solution, sb: Solution) -> Solution:
+    """Per-lane best of two Solution arms (non-finite cost loses)."""
+    ca = jnp.where(jnp.isfinite(sa.cost), sa.cost, jnp.inf)
+    cb = jnp.where(jnp.isfinite(sb.cost), sb.cost, jnp.inf)
+    better = cb < ca
+
+    def sel(a, b):
+        bt = better.reshape(
+            better.shape + (1,) * (a.ndim - better.ndim)
+        )
+        return jnp.where(bt, b, a)
+
+    # traces may differ in length (dual_ms_iters): edge-pad the shorter
+    # so the winner's monotone envelope is preserved
+    ta, tb = sa.cost_trace, sb.cost_trace
+    L = max(ta.shape[-1], tb.shape[-1])
+
+    def pad_edge(t):
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, L - t.shape[-1])]
+        return jnp.pad(t, pad, mode="edge") if L > t.shape[-1] else t
+
+    return Solution(
+        coeff=sel(sa.coeff, sb.coeff),
+        T=sa.T,
+        cost=sel(sa.cost, sb.cost),
+        cost_trace=sel(pad_edge(ta), pad_edge(tb)),
+        n_accept=sel(sa.n_accept, sb.n_accept),
+        dp=sel(sa.dp, sb.dp),
+        status=sel(sa.status, sb.status),
+    )
+
+
+def _seed_dp(Df, dep, dp0, lb, ub, cfg: OptimizerConfig):
+    """Initial free derivatives per cfg.seed_mode (unbatched)."""
+    if cfg.seed_mode == "min_snap":
+        return jnp.clip(qp.min_snap_dp(Df, dep.Rpp, dep.Rfp), lb, ub)
+    return dp0
+
+
 def _solve_field(
     field: penalty.Field,
     grid_shape: tuple[int, int, int],
@@ -99,6 +150,7 @@ def _solve_field(
     ctx = penalty.build_ctx(T, Df, cfg, dep=dep)
     num_dp = dp0.shape[1]
     lb, ub = penalty.bounds(wp, num_dp, cfg, dtype=wp.dtype)
+    dp0 = _seed_dp(Df, dep, dp0, lb, ub, cfg)
 
     dp = dp0
     traces = []
@@ -164,6 +216,14 @@ def solve(
     only (ws = 0), step 2 the full cost.  The active demo (opti_node.cpp:
     104) runs only step 2; pass ``steps=(1, 2)`` for the full schedule.
     """
+    if cfg.seed_mode == "dual":
+        cfg_a, cfg_b = _dual_arm_cfgs(cfg)
+        return _combine_dual(
+            solve(scenario, cfg=cfg_a, steps=steps,
+                  record_trace=record_trace),
+            solve(scenario, cfg=cfg_b, steps=steps,
+                  record_trace=record_trace),
+        )
     field, grid_shape = penalty.make_field(
         scenario.dist, scenario.origin, scenario.resolution
     )
@@ -192,6 +252,16 @@ def solve_batch(
     hot trilinear lookup a single flat gather instead of a per-scenario
     batched gather (orders of magnitude slower on TPU).
     """
+    if cfg.seed_mode == "dual":
+        # race both seeds through this same dispatch; per-lane best wins
+        cfg_a, cfg_b = _dual_arm_cfgs(cfg)
+        return _combine_dual(
+            solve_batch(scenarios, cfg=cfg_a, steps=steps,
+                        record_trace=record_trace),
+            solve_batch(scenarios, cfg=cfg_b, steps=steps,
+                        record_trace=record_trace),
+        )
+
     B = scenarios.waypoints.shape[0]
     grid_shape = scenarios.dist.shape[1:]
 
@@ -338,24 +408,15 @@ def crop_scenarios(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "interpret")
-)
-def solve_batch_kernel(
-    scenarios: Scenario,
-    cfg: OptimizerConfig = OptimizerConfig(),
-    steps: tuple[int, ...] = (2,),
-    interpret: bool = False,
-) -> Solution:
-    """Batch solve with the WHOLE descent fused into one Pallas kernel.
+def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
+    """Prep the whole-descent Pallas kernel's inputs from a Scenario
+    batch.
 
-    The fastest path on TPU: each scenario's distance grid is loaded
-    into VMEM once and all descent iterations run on-core
-    (ops/solve_pallas.py), instead of re-streaming the grid from HBM
-    every iteration.  Produces the same iterate rule as
-    :func:`solve_batch_fused` (BB + monotone acceptance) up to f32
-    rounding.  The monotone cost envelope (the reference's
-    getCostCurve) is recorded in-kernel at no measurable cost.
+    Returns (kargs, extras): ``kargs`` is the positional tuple
+    ``descend_fused`` takes up to ``phases``; ``extras`` is
+    ``(Df, dp0, T)`` for post-processing the kernel outputs into a
+    Solution.  Shared by :func:`solve_batch_kernel` and the kernel
+    profiling script (scripts/profile_kernel_ablate.py).
     """
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
     from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
@@ -403,6 +464,10 @@ def solve_batch_kernel(
     lb, ub = jax.vmap(
         lambda w: penalty.bounds(w, 3 * m - 3, cfg, dtype=w.dtype)
     )(wp)
+    if cfg.seed_mode == "min_snap":
+        dp0 = jnp.clip(
+            jax.vmap(qp.min_snap_dp)(Df, dep.Rpp, dep.Rfp), lb, ub
+        )
     lbT = jnp.swapaxes(lb, 1, 2)
     ubT = jnp.swapaxes(ub, 1, 2)
     dp0T = jnp.swapaxes(dp0, 1, 2)
@@ -420,13 +485,49 @@ def solve_batch_kernel(
         grids = jnp.broadcast_to(grids, (B,) + grids.shape[1:])
     gp = tp.prep_grids(grids)
 
+    kargs = (
+        gp, grids.shape[1:], apos, avel, tlT, tvlT, dep.Rpp, cgt,
+        lbT, ubT, dp0T, dts, dfT, misc,
+    )
+    return kargs, (Df, dp0, T)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "interpret")
+)
+def solve_batch_kernel(
+    scenarios: Scenario,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    steps: tuple[int, ...] = (2,),
+    interpret: bool = False,
+) -> Solution:
+    """Batch solve with the WHOLE descent fused into one Pallas kernel.
+
+    The fastest path on TPU: each scenario's distance grid is loaded
+    into VMEM once and all descent iterations run on-core
+    (ops/solve_pallas.py), instead of re-streaming the grid from HBM
+    every iteration.  Produces the same iterate rule as
+    :func:`solve_batch_fused` (BB + monotone acceptance) up to f32
+    rounding.  The monotone cost envelope (the reference's
+    getCostCurve) is recorded in-kernel at no measurable cost.
+    """
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    if cfg.seed_mode == "dual":
+        cfg_a, cfg_b = _dual_arm_cfgs(cfg)
+        return _combine_dual(
+            solve_batch_kernel(scenarios, cfg=cfg_a, steps=steps,
+                               interpret=interpret),
+            solve_batch_kernel(scenarios, cfg=cfg_b, steps=steps,
+                               interpret=interpret),
+        )
+
+    kargs, (Df, dp0, T) = kernel_inputs(scenarios, cfg)
     phases = tuple(
         (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
     )
     dpT, cost, n_acc, trace = sk.descend_fused(
-        gp, grids.shape[1:], apos, avel, tlT, tvlT, dep.Rpp, cgt,
-        lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
-        interpret=interpret,
+        *kargs, phases, cfg, interpret=interpret,
     )
     dp = jnp.swapaxes(dpT, 1, 2)  # (B, 3, P)
 
@@ -485,6 +586,17 @@ def solve_batch_fused(
     the fast path on TPU.  Requires per-scenario grids (no shared-map
     shortcut) with nx, ny <= 128 and m * n_samples <= 256.
     """
+    if cfg.seed_mode == "dual":
+        cfg_a, cfg_b = _dual_arm_cfgs(cfg)
+        return _combine_dual(
+            solve_batch_fused(scenarios, cfg=cfg_a, steps=steps,
+                              record_trace=record_trace,
+                              interpret=interpret),
+            solve_batch_fused(scenarios, cfg=cfg_b, steps=steps,
+                              record_trace=record_trace,
+                              interpret=interpret),
+        )
+
     wp = scenarios.waypoints  # (B, m+1, 3)
     B = wp.shape[0]
     T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
@@ -496,6 +608,11 @@ def solve_batch_fused(
     lb, ub = jax.vmap(
         lambda w: penalty.bounds(w, num_dp, cfg, dtype=w.dtype)
     )(wp)
+    if cfg.seed_mode == "min_snap":
+        dp0 = jnp.clip(
+            jax.vmap(qp.min_snap_dp)(Df, bctx.dep.Rpp, bctx.dep.Rfp),
+            lb, ub,
+        )
 
     grids = scenarios.dist
     if grids.shape[0] == 1 and B > 1:

@@ -313,7 +313,38 @@ struct SolveCfg {
   int n_samples, iters1, iters2, steps_mask;  // steps_mask: 1|2 bits
   double cost_eps, grad_eps, vel_eps, t_offset;
   int step_rule_bb;  // 1 = Barzilai-Borwein, 0 = multiplicative adaptive
+  int accept_window;  // nonmonotone acceptance window (1 = monotone)
+  int seed_mode;      // 0 = reference, 1 = min_snap, 2 = dual
+  int dual_ms_iters;  // step-2 budget of the min-snap arm (0 = iters2)
 };
+
+// Gaussian elimination with partial pivoting: solve A x = b in place
+// (A n x n row-major, overwritten).  n = 3m-3 stays tiny (< 100).
+void solve_dense(std::vector<double>& A, std::vector<double>& b, int n) {
+  for (int k = 0; k < n; ++k) {
+    int piv = k;
+    for (int i = k + 1; i < n; ++i)
+      if (std::fabs(A[i * n + k]) > std::fabs(A[piv * n + k])) piv = i;
+    if (piv != k) {
+      for (int j = 0; j < n; ++j) std::swap(A[k * n + j], A[piv * n + j]);
+      std::swap(b[k], b[piv]);
+    }
+    double d = A[k * n + k];
+    if (std::fabs(d) < 1e-300) continue;
+    for (int i = k + 1; i < n; ++i) {
+      double f = A[i * n + k] / d;
+      if (f == 0.0) continue;
+      for (int j = k; j < n; ++j) A[i * n + j] -= f * A[k * n + j];
+      b[i] -= f * b[k];
+    }
+  }
+  for (int k = n - 1; k >= 0; --k) {
+    double acc = b[k];
+    for (int j = k + 1; j < n; ++j) acc -= A[k * n + j] * b[j];
+    double d = A[k * n + k];
+    b[k] = (std::fabs(d) < 1e-300) ? 0.0 : acc / d;
+  }
+}
 
 struct MapRef {
   const float* dist;
@@ -454,6 +485,9 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
   cfg.iters2 = int(c[17]); cfg.steps_mask = int(c[18]);
   cfg.cost_eps = c[19]; cfg.grad_eps = c[20]; cfg.vel_eps = c[21];
   cfg.t_offset = c[22]; cfg.step_rule_bb = int(c[23]);
+  cfg.accept_window = std::max(1, int(c[24]));
+  cfg.seed_mode = int(c[25]);
+  cfg.dual_ms_iters = int(c[26]);
 
   MapRef mp{dist, nx, ny, nz, {origin[0], origin[1], origin[2]},
             resolution};
@@ -503,12 +537,36 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
     for (int i = 0; i < 3 * ndp; ++i)
       v[i] = std::clamp(v[i], lb[i], ub[i]);
   };
-  if (ndp > 0) clip(dpv);
 
-  double final_cost = 0.0;
-  for (int step : {1, 2}) {
+  // min-snap seed: dp* = -Rpp^-1 Rfp^T df per axis (core/qp.min_snap_dp)
+  auto minsnap_seed = [&]() {
+    std::vector<double> dp(3 * size_t(std::max(ndp, 1)), 0.0);
+    for (int ax = 0; ax < 3 && ndp > 0; ++ax) {
+      std::vector<double> A(size_t(ndp) * ndp);
+      std::vector<double> b(size_t(ndp), 0.0);
+      for (int i = 0; i < ndp; ++i)
+        for (int j = 0; j < ndp; ++j)
+          A[size_t(i) * ndp + j] = deps.R(6 + i, 6 + j);
+      for (int p = 0; p < ndp; ++p) {
+        double acc = 0;
+        for (int f = 0; f < 6; ++f) acc += deps.R(f, 6 + p) * Df[ax * 6 + f];
+        b[size_t(p)] = -acc;
+      }
+      solve_dense(A, b, ndp);
+      for (int p = 0; p < ndp; ++p) dp[size_t(ax) * ndp + p] = b[size_t(p)];
+    }
+    return dp;
+  };
+
+  // the full multi-phase descent from one seed (iters2 parameterized so
+  // the dual min-snap arm can run a shorter step-2 budget)
+  auto run_schedule = [&](std::vector<double> dpv,
+                          int iters2_budget) {
+    if (ndp > 0) clip(dpv);
+    double final_cost = 0.0;
+    for (int step : {1, 2}) {
     if (!(cfg.steps_mask & step)) continue;
-    int iters = (step == 1) ? cfg.iters1 : cfg.iters2;
+    int iters = (step == 1) ? cfg.iters1 : iters2_budget;
     if (ndp == 0) {
       final_cost = cost_and_grad(deps, mp, cfg, Df, dpv.data(), step,
                                  nullptr);
@@ -517,6 +575,9 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
     // fused scheme (mirrors opt/descent.py): one cost+grad evaluation per
     // iteration, gradient cached across rejected steps; step size follows
     // the configured rule (Barzilai-Borwein spectral or multiplicative).
+    // Acceptance compares against the max of the last accept_window
+    // accepted costs (1 = strict monotone); the best iterate is carried
+    // separately and returned.
     std::vector<double> g(3 * ndp), g2(3 * ndp), cand(3 * ndp);
     double cost =
         cost_and_grad(deps, mp, cfg, Df, dpv.data(), step, g.data());
@@ -526,6 +587,11 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
     gn0 = std::sqrt(gn0) + 1e-12;
     double lr = use_bb ? cfg.lr0 / gn0 : cfg.lr0;
     double scale = 1.0;
+    const int W = cfg.accept_window;
+    std::vector<double> hist(size_t(W), cost);
+    int ptr = 0;
+    double best_c = cost;
+    std::vector<double> best_dp = dpv;
     for (int it = 0; it < iters; ++it) {
       double stepsz;
       if (use_bb) {
@@ -540,7 +606,8 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
         cand[i] = std::clamp(dpv[i] - stepsz * g[i], lb[i], ub[i]);
       double c2 =
           cost_and_grad(deps, mp, cfg, Df, cand.data(), step, g2.data());
-      bool accept = c2 < cost;
+      double ref = *std::max_element(hist.begin(), hist.end());
+      bool accept = c2 < ref;
       if (use_bb) {
         if (accept) {
           double sy = 0, yy = 0;
@@ -563,13 +630,47 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
           lr = std::max(lr * cfg.lr_shrink, cfg.lr_min);
         }
       }
+      if (c2 < best_c) {
+        best_c = c2;
+        best_dp = cand;
+      }
       if (accept) {
+        hist[size_t(ptr)] = c2;
+        ptr = (ptr + 1) % W;
         dpv.swap(cand);
         g.swap(g2);
         cost = c2;
       }
     }
-    final_cost = cost;
+    dpv = best_dp;
+    final_cost = best_c;
+    }
+    return std::make_pair(final_cost, dpv);
+  };
+
+  double final_cost;
+  if (cfg.seed_mode == 1) {
+    auto r = run_schedule(minsnap_seed(), cfg.iters2);
+    final_cost = r.first;
+    dpv = std::move(r.second);
+  } else if (cfg.seed_mode == 2) {
+    // dual: race both seeds, keep the better arm (solver._combine_dual)
+    int it_ms = cfg.dual_ms_iters > 0 ? cfg.dual_ms_iters : cfg.iters2;
+    auto ra = run_schedule(dpv, cfg.iters2);
+    auto rb = run_schedule(minsnap_seed(), it_ms);
+    bool a_ok = std::isfinite(ra.first);
+    bool b_ok = std::isfinite(rb.first);
+    if (b_ok && (!a_ok || rb.first < ra.first)) {
+      final_cost = rb.first;
+      dpv = std::move(rb.second);
+    } else {
+      final_cost = ra.first;
+      dpv = std::move(ra.second);
+    }
+  } else {
+    auto r = run_schedule(dpv, cfg.iters2);
+    final_cost = r.first;
+    dpv = std::move(r.second);
   }
 
   // coefficients out

@@ -156,3 +156,55 @@ def test_native_kino_search_blocked():
         max_nodes=4000, margin=0.3,
     )
     assert not reached
+
+
+def test_native_solve_nonmonotone_dual_matches_jax():
+    """accept_window > 1 + dual seeding agree between the C++ engine
+    (f64) and the JAX path (f32) within the parity budget."""
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25,
+        map_size=(10.0, 10.0, 4.0),
+    )
+    pts = []
+    for x in np.arange(-2.0, 2.0, map_cfg.resolution):
+        for z in np.arange(0.1, 4.0, map_cfg.resolution):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    obss = np.array(pts)
+    wp = np.array(
+        [
+            [0.0, -3.0, 2.0],
+            [0.3, -1.5, 2.0],
+            [0.0, 0.0, 2.0],
+            [-0.3, 1.5, 2.0],
+            [0.0, 3.0, 2.0],
+        ]
+    )
+    cfg = OptimizerConfig(
+        iters_step1=6, iters_step2=15, accept_window=4,
+        seed_mode="dual", dual_ms_iters=10,
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+
+    coeff_n, times_n, cost_n = native.solve(
+        np.asarray(scn.dist), map_cfg.origin, map_cfg.resolution, wp,
+        cfg, steps=(2,),
+    )
+    ts = np.linspace(1e-3, times_n.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(times_n)
+    pos_n = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(
+            int(np.searchsorted(edges, t, side="right")),
+            len(times_n) - 1,
+        )
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_n[i] = coeff_n[s] @ basis
+    dev = np.abs(pos_j - pos_n).max()
+    assert dev < 1e-3, f"native/JAX positional deviation {dev}"
+    assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3

@@ -354,3 +354,124 @@ def test_solve_batch_kernel_exact_gradient_mode():
     p1, _ = poly.sample_uniform(s_ref.coeff[0], s_ref.T[0], 100)
     p2, _ = poly.sample_uniform(s_k.coeff[0], s_k.T[0], 100)
     assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+
+
+def test_min_snap_seed_is_smoothness_optimal():
+    """qp.min_snap_dp satisfies the QP optimality condition
+    Rpp dp* + Rfp^T df = 0 (qp_generator.cpp:242-315)."""
+    from grad_traj_optimization_tpu.core import qp
+
+    _, _, wp = _small_scene()
+    wp = jnp.asarray(wp, jnp.float32)
+    T = qp.allocate_times(wp, 1.8, 0.3)
+    Df, _ = qp.straight_line_d(wp)
+    dep = qp.build_dep(T)
+    dp = qp.min_snap_dp(Df, dep.Rpp, dep.Rfp)
+    resid = jnp.einsum("pq,xq->xp", dep.Rpp, dp) + jnp.einsum(
+        "fp,xf->xp", dep.Rfp, Df
+    )
+    scale = float(jnp.max(jnp.abs(jnp.einsum("fp,xf->xp", dep.Rfp, Df))))
+    assert float(jnp.max(jnp.abs(resid))) < 1e-3 * max(scale, 1.0)
+
+
+def test_nonmonotone_min_snap_matches_float64_oracle():
+    """accept_window > 1 + min_snap seed: the f32 solve still tracks the
+    float64 oracle (same descent decisions) within the parity budget."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=6, iters_step2=15, accept_window=4,
+        seed_mode="min_snap",
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,))
+
+    gm = golden.GoldenSDFMap(
+        map_cfg.origin, map_cfg.resolution, map_cfg.map_size
+    )
+    for p in obss:
+        gm.set_occupancy(p)
+    gm.update_esdf()
+    gopt = golden.GoldenOptimizer(gm, cfg)
+    gopt.setup(wp)
+    _, coeff_g = gopt.optimize(steps=(2,))
+
+    T = np.asarray(sol.T, np.float64)
+    ts = np.linspace(1e-3, T.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(T)
+    pos_g = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(int(np.searchsorted(edges, t, side="right")), len(T) - 1)
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_g[i] = coeff_g[s] @ basis
+    dev = np.abs(pos_j - pos_g).max()
+    assert dev < 1e-3, f"positional deviation {dev} m >= 1e-3"
+
+
+def test_nonmonotone_kernel_matches_reference_path():
+    """The whole-descent kernel's nonmonotone branch (interpret mode)
+    reproduces descent.minimize_batch decisions."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(iters_step1=4, iters_step2=10, accept_window=4)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(
+        dist=scn.dist[None],
+        origin=scn.origin[None],
+        resolution=scn.resolution[None],
+        waypoints=jnp.asarray(wp, jnp.float32)[None],
+    )
+    s_ref = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=(1, 2), record_trace=True
+    )
+    s_k = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(1, 2), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_k.n_accept), np.asarray(s_ref.n_accept)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.cost_trace), np.asarray(s_ref.cost_trace),
+        rtol=5e-3,
+    )
+    p1, _ = poly.sample_uniform(s_ref.coeff[0], s_ref.T[0], 100)
+    p2, _ = poly.sample_uniform(s_k.coeff[0], s_k.T[0], 100)
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+
+
+def test_dual_seed_picks_per_lane_best():
+    """seed_mode='dual' returns exactly the per-lane better of the two
+    arms (reference seed, min-snap seed with its own budget)."""
+    import dataclasses
+
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=4, iters_step2=12, accept_window=4,
+        seed_mode="dual", dual_ms_iters=8,
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    wps = np.stack([wp, wp + np.array([0.2, 0.0, 0.1])], axis=0)
+    batch = solve_mod.Scenario(
+        dist=jnp.stack([scn.dist, scn.dist]),
+        origin=jnp.broadcast_to(scn.origin, (2, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (2,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    s_dual = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
+    cfg_a = dataclasses.replace(cfg, seed_mode="reference")
+    cfg_b = dataclasses.replace(
+        cfg, seed_mode="min_snap", iters_step2=8
+    )
+    s_a = solve_mod.solve_batch(batch, cfg=cfg_a, steps=(2,))
+    s_b = solve_mod.solve_batch(batch, cfg=cfg_b, steps=(2,))
+    best = np.minimum(np.asarray(s_a.cost), np.asarray(s_b.cost))
+    np.testing.assert_allclose(np.asarray(s_dual.cost), best, rtol=1e-6)
+    for b in range(2):
+        src = s_a if s_a.cost[b] <= s_b.cost[b] else s_b
+        np.testing.assert_allclose(
+            np.asarray(s_dual.coeff[b]), np.asarray(src.coeff[b]),
+            rtol=1e-6,
+        )
+    assert np.all(np.asarray(s_dual.status) == solve_mod.STATUS_OK)

@@ -105,12 +105,9 @@ def main():
     # seed, per-lane best kept), measured ~0.50x geomean final cost on
     # this scenario distribution.  Reported as solution-quality ratios
     # against the reference-config solutions from the same run.
-    import dataclasses
+    from grad_traj_optimization_tpu.config import TURBO_CONFIG
 
-    turbo_cfg = dataclasses.replace(
-        cfg, accept_window=8, seed_mode="dual", iters_step2=70,
-        dual_ms_iters=30,
-    )
+    turbo_cfg = TURBO_CONFIG
     run_t = lambda: solve_mod.solve_batch(
         scns, cfg=turbo_cfg, steps=(2,), record_trace=False
     )

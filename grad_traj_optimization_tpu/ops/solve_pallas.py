@@ -70,7 +70,8 @@ def supports(grid_shape, n_samples: int, num_dp: int, cfg) -> bool:
 
 
 def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
-            ablate: frozenset = frozenset()):
+            ablate: frozenset = frozenset(), zskip: bool = False,
+            sn_ref=None, sd_ref=None):
     """In-kernel trilinear distance+gradient for pos (SP, 3).
 
     Same math as trilinear_pallas._kernel, with the one-hot corner
@@ -122,7 +123,8 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
 
     d, gx, gy, gz = tp.lookup_core(
         grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
-        nzp, zc, ablate=ablate,
+        nzp, zc, ablate=ablate, zskip=zskip, sn_ref=sn_ref,
+        sd_ref=sd_ref,
     )
 
     okf = ok.astype(jnp.float32)
@@ -131,16 +133,16 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     return d, g
 
 
-def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate,
-                  gp_ref, apos_ref, avel_ref, tlT_ref, tvlT_ref, rpp_ref,
+def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zskip,
+                  gp_ref, apos_ref, avel_ref, tltv_ref, rpp_ref,
                   cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
-                  misc_ref, odp_ref, osc_ref, otr_ref):
+                  misc_ref, odp_ref, osc_ref, otr_ref,
+                  sn_ref=None, sd_ref=None):
     """One scenario's complete multi-phase descent."""
     HI = jax.lax.Precision.HIGHEST
     apos = apos_ref[0]  # (SP, ndim)
     avel = avel_ref[0]
-    tlT = tlT_ref[0]    # (P, SP)
-    tvlT = tvlT_ref[0]
+    tltv = tltv_ref[0]  # (P, 2*SP): [TL^T | TVL^T] stacked on K
     rpp = rpp_ref[0]    # (P, P)
     cgt = cgt_ref[0]    # (P, 3)
     lbT = lbT_ref[0]    # (P, 3)
@@ -181,7 +183,8 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate,
             g = pos * 1e-3
         else:
             d, g = _lookup(
-                gp_ref, pos, misc, grid_shape, nzp, zc, ablate=ablate
+                gp_ref, pos, misc, grid_shape, nzp, zc, ablate=ablate,
+                zskip=zskip, sn_ref=sn_ref, sd_ref=sd_ref,
             )
 
         if "exp" in ablate:
@@ -199,13 +202,16 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate,
         w_dist = gd * cd * vn if ref_grad else gd * vn
         w1 = (w_dist * dts) * g          # (SP, 3)
         w2 = ((cd / vn) * dts) * vel
-        P = tlT.shape[0]
+        P = tltv.shape[0]
         if "graddots" in ablate:
             grad_c = w1[:P] + w2[:P]  # (P, 3) sublane slice
         else:
-            grad_c = jnp.dot(tlT, w1, precision=HI) + jnp.dot(
-                tvlT, w2, precision=HI
-            )  # (P, 3)
+            # ONE K-stacked dot instead of tlT@w1 + tvlT@w2: the MXU
+            # pads K per dot (184 -> 256 twice vs 368 -> 384 once),
+            # so merging cuts ~25% of this op's passes — measured
+            # ~3.5 us/scenario-iter for the split pair (ablation).
+            w12 = jnp.concatenate([w1, w2], axis=0)  # (2*SP, 3)
+            grad_c = jnp.dot(tltv, w12, precision=HI)  # (P, 3)
 
         cost = ws * cost_s + cfg.w_collision * cost_c + cfg.cost_eps
         grad = ws * grad_s + cfg.w_collision * grad_c
@@ -292,24 +298,30 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_shape", "phases", "cfg", "interpret",
-                     "ablate"),
+                     "ablate", "zskip"),
 )
-def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
+def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
                   lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
                   interpret: bool = False,
-                  ablate: frozenset = frozenset()):
+                  ablate: frozenset = frozenset(),
+                  zskip: bool = True):
     """Run the whole multi-phase descent in one Pallas call.
 
     Args (leading batch axis B on all arrays):
       gp: prepped grid planes from trilinear_pallas.prep_grids.
       apos/avel: (B, SP, ndim) position/velocity sampling chains
         (Tmat @ L per segment, flattened; padded sample rows zero).
-      tlT/tvlT: (B, P, SP) gradient chains (TL/TVL transposed).
+      tltv: (B, P, 2*SP) gradient chains [TL^T | TVL^T] stacked on
+        the contraction axis (one merged MXU dot per iteration).
       rpp: (B, P, P); cgt: (B, P, 3) = 2 (Df @ Rfp)^T; lbT/ubT/dp0T:
         (B, P, 3); dts: (B, SP, 1) per-sample dt (zero on pads);
       dfT: (B, 6, 3); misc: (B, 1, 8) = [origin, res, c_ff, 0...].
       phases: tuple of (step, iters), e.g. ((2, 100),) or
         ((1, 40), (2, 100)).
+      zskip: skip z-chunks of the lookup contraction that no sample's
+        z-corners touch (their z-weights are identically zero; exact
+        up to compiled reduction reassociation — see
+        trilinear_pallas.lookup_core).  Default on.
       ablate: PROFILING ONLY — frozenset of kernel pieces to replace
         with same-shape cheap stand-ins ("qpdots", "lookup", "xdot",
         "yreduce", "exp", "sqrt", "graddots", "trace").  Results are
@@ -334,15 +346,15 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
     )
     odp, osc, otr = pl.pallas_call(
         functools.partial(
-            _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate
+            _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate,
+            zskip,
         ),
         grid=(B,),
         in_specs=[
             spec((tp.PLANES * NP, nzp * NP)),
             spec((SP, ndim)),
             spec((SP, ndim)),
-            spec((P, SP)),
-            spec((P, SP)),
+            spec((P, 2 * SP)),
             spec((P, P)),
             spec((P, 3)),
             spec((P, 3)),
@@ -358,11 +370,15 @@ def descend_fused(gp, grid_shape, apos, avel, tlT, tvlT, rpp, cgt,
             jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, total_iters), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((2 * SP, nzp), jnp.float32)] * 2 if zskip
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(gp, apos, avel, tlT, tvlT, rpp, cgt, lbT, ubT, dp0T, dts, dfT,
+    )(gp, apos, avel, tltv, rpp, cgt, lbT, ubT, dp0T, dts, dfT,
       misc)
     return (
         odp,

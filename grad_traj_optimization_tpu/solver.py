@@ -452,8 +452,12 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     pad = sk.SP - S
     apos = jnp.pad(apos, ((0, 0), (0, pad), (0, 0)))
     avel = jnp.pad(avel, ((0, 0), (0, pad), (0, 0)))
-    tlT = jnp.swapaxes(apos[:, :, 6:], 1, 2)   # (B, P, SP)
-    tvlT = jnp.swapaxes(avel[:, :, 6:], 1, 2)
+    # [TL^T | TVL^T] stacked on the contraction axis: the kernel's
+    # gradient chain runs as ONE merged (P, 2*SP) @ (2*SP, 3) dot
+    tltv = jnp.concatenate(
+        [jnp.swapaxes(apos[:, :, 6:], 1, 2),
+         jnp.swapaxes(avel[:, :, 6:], 1, 2)], axis=2,
+    )  # (B, P, 2*SP)
     dts = jnp.broadcast_to(
         bctx.dt[:, :, None], (B, m, K)
     ).reshape(B, S, 1)
@@ -486,7 +490,7 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     gp = tp.prep_grids(grids)
 
     kargs = (
-        gp, grids.shape[1:], apos, avel, tlT, tvlT, dep.Rpp, cgt,
+        gp, grids.shape[1:], apos, avel, tltv, dep.Rpp, cgt,
         lbT, ubT, dp0T, dts, dfT, misc,
     )
     return kargs, (Df, dp0, T)

@@ -79,3 +79,75 @@ def test_trilinear_fused_matches_mxu_per_sample():
     d_oob = np.asarray(d_f)[:, -20:]
     assert np.all(d_oob == -1.0)
     assert np.all(np.asarray(g_f)[:, -20:] == 0.0)
+
+
+def test_solve_kernel_zskip_is_exact():
+    """z-chunk skipping: skipped chunks have identically zero
+    z-weights, so the lookup is exact in exact arithmetic (the pure-JAX
+    property test below is bitwise).  The compiled kernel may
+    reassociate reductions around the lax.cond, so whole-solve outputs
+    are compared at the standard kernel-vs-path tolerances."""
+    import numpy as np
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import (
+        MapConfig, OptimizerConfig,
+    )
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    map_cfg = MapConfig(
+        origin=(-4.0, -4.0, 0.0), resolution=0.25,
+        map_size=(8.0, 8.0, 6.0),
+    )
+    obss = np.array(
+        [(x, 0.0, z)
+         for x in np.arange(-2.0, 2.0, 0.25)
+         for z in np.arange(0.1, 6.0, 0.25)
+         if abs(x) > 0.5]
+    )
+    wp = np.array(
+        [[0.0, -3.0, 2.0], [0.2, -1.0, 2.4], [0.0, 1.0, 2.0],
+         [0.0, 3.0, 2.2]]
+    )
+    cfg = OptimizerConfig(iters_step2=8)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = jax.tree.map(lambda x: x[None], scn)
+    batch = solve_mod.Scenario(*batch)
+    kargs, _ = solve_mod.kernel_inputs(batch, cfg)
+    out_skip = sk.descend_fused(
+        *kargs, ((2, 8),), cfg, interpret=True, zskip=True
+    )
+    out_full = sk.descend_fused(
+        *kargs, ((2, 8),), cfg, interpret=True, zskip=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skip[1]), np.asarray(out_full[1]), rtol=5e-3
+    )  # final cost
+    np.testing.assert_allclose(
+        np.asarray(out_skip[0]), np.asarray(out_full[0]), atol=1e-3
+    )  # dp
+
+    # pure-JAX bitwise property test of the skip logic itself
+    from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
+
+    gp = kargs[0]
+    grid_shape = batch.dist.shape[1:]
+    nz = grid_shape[2]
+    zc = tp._pick_zc(nz)
+    nzp = tp._round_up(nz, zc)
+    misc = np.zeros((1, 8), np.float32)
+    misc[0, :3] = map_cfg.origin
+    misc[0, 3] = map_cfg.resolution
+    misc = jnp.asarray(misc)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        pos = jnp.asarray(
+            rng.uniform(
+                [-4.5, -4.5, -0.5], [4.5, 4.5, 6.5], size=(tp.SP, 3)
+            ).astype(np.float32)
+        )
+        d1, g1 = sk._lookup(gp, pos, misc, grid_shape, nzp, zc,
+                            zskip=False)
+        d2, g2 = sk._lookup(gp, pos, misc, grid_shape, nzp, zc,
+                            zskip=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

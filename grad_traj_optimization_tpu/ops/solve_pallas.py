@@ -70,14 +70,30 @@ def supports(grid_shape, n_samples: int, num_dp: int, cfg) -> bool:
 
 
 def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
-            ablate: frozenset = frozenset(), zskip: bool = False,
-            sn_ref=None, sd_ref=None):
+            ablate: frozenset = frozenset(), zwin: int = 0,
+            valid=None, dg_ref=None, functional: bool = False):
     """In-kernel trilinear distance+gradient for pos (SP, 3).
 
     Same math as trilinear_pallas._kernel, with the one-hot corner
     weights built in-kernel from the sample coordinates (a few VPU
     broadcast-compares instead of ~0.6 MB/scenario of streamed weights).
     Returns d (SP, 1), g (SP, 3); out-of-map -> (-1, 0) (sdf_map.cpp:187).
+
+    ``zwin`` (chunks) > 0 enables the DYNAMIC Z-WINDOW: quadrotor
+    trajectories are nearly constant-altitude, so the valid samples'
+    z-corner cells usually span a narrow band.  When the band fits a
+    zwin*zc-cell window, the contraction runs over just that window at
+    a traced cell offset (cell offsets are NP=128 lanes, so any start
+    is lane-aligned) with window-relative z weights; otherwise a
+    pl.when fallback runs the full-depth lookup.  Both paths are the
+    same math over columns whose excluded weights are identically zero
+    (adding exact zeros is exact), so results match the full lookup up
+    to compiled reduction reassociation — and bitwise in pure JAX.
+    ``valid`` (SP, 1) masks padded sample rows out of the band
+    computation; ``dg_ref`` ((SP, 4) f32 VMEM scratch) carries the
+    pl.when branch outputs.  Both must be given to enable the window
+    in-kernel; without ``dg_ref`` a functional jnp.where select is used
+    (for property tests).
     """
     nx, ny, nz = grid_shape
     ox = misc[0, 0:1]
@@ -111,21 +127,64 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
 
     h0x, h1x = hots(ix, nx, NP)
     h0y, h1y = hots(iy, ny, NP)
-    h0z, h1z = hots(iz, nz, nzp)
 
     # stacked bf16 one-hot rows, tiled per grid plane (hi, mid[, lo])
     wx = jnp.concatenate([h0x, h1x], axis=0).astype(jnp.bfloat16)
     wx01 = jnp.concatenate([wx] * tp.PLANES, axis=1)  # (2*SP, PLANES*NP)
     wyn = (h0y * (1.0 - fyq) + h1y * fyq)[:, None, :]  # (SP, 1, NP)
     wyd = ((h1y - h0y) * inv_res)[:, None, :]
-    wznt = h0z * (1.0 - fzq) + h1z * fzq  # (SP, nzp)
-    wzdt = (h1z - h0z) * inv_res
 
-    d, gx, gy, gz = tp.lookup_core(
-        grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
-        nzp, zc, ablate=ablate, zskip=zskip, sn_ref=sn_ref,
-        sd_ref=sd_ref,
-    )
+    def z_lookup(z0, ncell):
+        """Lookup over ncell z-cells starting at (traced) cell z0."""
+        # one-hot of the ABSOLUTE-clamped corner cells, window-relative
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (SP, ncell), 1)
+        h0z = (lanes == jnp.clip(iz, 0, nz - 1) - z0).astype(
+            jnp.float32
+        )
+        h1z = (lanes == jnp.clip(iz + 1, 0, nz - 1) - z0).astype(
+            jnp.float32
+        )
+        wznt = h0z * (1.0 - fzq) + h1z * fzq  # (SP, ncell)
+        wzdt = (h1z - h0z) * inv_res
+        return tp.lookup_core(
+            grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
+            ncell, zc, col0=z0, ablate=ablate, functional=functional,
+        )
+
+    win_cells = zwin * zc
+    if not (0 < win_cells < nz) or valid is None:
+        d, gx, gy, gz = z_lookup(0, nzp)
+    else:
+        # band of z-corner cells over VALID samples (padded rows would
+        # otherwise drag the window to their garbage positions)
+        izc0 = jnp.clip(iz, 0, nz - 1)
+        izc1 = jnp.clip(iz + 1, 0, nz - 1)
+        big = jnp.int32(1 << 20)
+        lo = jnp.min(jnp.where(valid, izc0, big))
+        hi = jnp.max(jnp.where(valid, izc1, -big))
+        z0 = jnp.clip(lo, 0, nz - win_cells)
+        fit = hi - z0 <= win_cells - 1
+
+        if dg_ref is None:
+            dw = z_lookup(z0, win_cells)
+            df = z_lookup(0, nzp)
+            d, gx, gy, gz = [
+                jnp.where(fit, a, b) for a, b in zip(dw, df)
+            ]
+        else:
+            @pl.when(fit)
+            def _():
+                dg_ref[...] = jnp.concatenate(
+                    z_lookup(z0, win_cells), axis=1
+                )
+
+            @pl.when(jnp.logical_not(fit))
+            def _():
+                dg_ref[...] = jnp.concatenate(z_lookup(0, nzp), axis=1)
+
+            dgl = dg_ref[...]
+            d, gx, gy, gz = (dgl[:, 0:1], dgl[:, 1:2], dgl[:, 2:3],
+                             dgl[:, 3:4])
 
     okf = ok.astype(jnp.float32)
     d = jnp.where(ok, d, -1.0)
@@ -133,11 +192,11 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     return d, g
 
 
-def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zskip,
+def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
                   gp_ref, apos_ref, avel_ref, tltv_ref, rpp_ref,
                   cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
                   misc_ref, odp_ref, osc_ref, otr_ref,
-                  sn_ref=None, sd_ref=None):
+                  dg_ref=None):
     """One scenario's complete multi-phase descent."""
     HI = jax.lax.Precision.HIGHEST
     apos = apos_ref[0]  # (SP, ndim)
@@ -153,6 +212,7 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zskip,
     c_ff = misc[0, 4]
 
     ref_grad = cfg.gradient_mode == "reference"
+    valid = dts > 0.0  # (SP, 1); padded sample rows have dt == 0
 
     def cost_and_grad(dpT, ws):
         d_full = jnp.concatenate([dfT, dpT], axis=0)  # (ndim, 3)
@@ -184,7 +244,7 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zskip,
         else:
             d, g = _lookup(
                 gp_ref, pos, misc, grid_shape, nzp, zc, ablate=ablate,
-                zskip=zskip, sn_ref=sn_ref, sd_ref=sd_ref,
+                zwin=zwin, valid=valid, dg_ref=dg_ref,
             )
 
         if "exp" in ablate:
@@ -298,13 +358,13 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zskip,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_shape", "phases", "cfg", "interpret",
-                     "ablate", "zskip"),
+                     "ablate", "zwin"),
 )
 def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
                   lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
                   interpret: bool = False,
                   ablate: frozenset = frozenset(),
-                  zskip: bool = True):
+                  zwin: int = 2):
     """Run the whole multi-phase descent in one Pallas call.
 
     Args (leading batch axis B on all arrays):
@@ -318,10 +378,12 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
       dfT: (B, 6, 3); misc: (B, 1, 8) = [origin, res, c_ff, 0...].
       phases: tuple of (step, iters), e.g. ((2, 100),) or
         ((1, 40), (2, 100)).
-      zskip: skip z-chunks of the lookup contraction that no sample's
-        z-corners touch (their z-weights are identically zero; exact
-        up to compiled reduction reassociation — see
-        trilinear_pallas.lookup_core).  Default on.
+      zwin: dynamic z-window width in zc-cell chunks (see _lookup):
+        the lookup contracts only a zwin*zc-cell band at a traced
+        offset when the samples' z-corner band fits, with a pl.when
+        full-depth fallback otherwise.  0 disables.  Exact up to
+        compiled reduction reassociation.  Default 2 (10 cells at
+        bench shapes — covers typical near-constant-altitude spans).
       ablate: PROFILING ONLY — frozenset of kernel pieces to replace
         with same-shape cheap stand-ins ("qpdots", "lookup", "xdot",
         "yreduce", "exp", "sqrt", "graddots", "trace").  Results are
@@ -347,7 +409,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
     odp, osc, otr = pl.pallas_call(
         functools.partial(
             _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate,
-            zskip,
+            zwin,
         ),
         grid=(B,),
         in_specs=[
@@ -371,8 +433,8 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
             jax.ShapeDtypeStruct((B, 1, total_iters), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((2 * SP, nzp), jnp.float32)] * 2 if zskip
-            else []
+            [pltpu.VMEM((SP, 4), jnp.float32)]
+            if 0 < zwin * zc < grid_shape[2] else []
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024

@@ -108,8 +108,9 @@ def prep_grids(grids):
 
 
 def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
-                nzp: int, zc: int, ablate: frozenset = frozenset(),
-                zskip: bool = False, sn_ref=None, sd_ref=None):
+                ncell: int, zc: int, col0=0,
+                ablate: frozenset = frozenset(),
+                functional: bool = False):
     """The shared trilinear contraction both Pallas kernels run.
 
     Args (in-kernel values for ONE scenario):
@@ -117,11 +118,17 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
         nzp*NP) bf16, chunk-sliced inside (never fully materialized);
       wx01: (2*SP, PLANES*NP) bf16 — the x-corner one-hot rows [h0; h1]
         tiled per grid plane;
-      fx_frac: X interpolation fraction, (SP, 1) or (SP, nzp);
+      fx_frac: X interpolation fraction, (SP, 1) or (SP, ncell);
       wyn/wyd: (SP, 1, NP) y interpolation / derivative weights (wyd
         carries 1/res);
-      wznt/wzdt/wzntx: (SP, nzp) z weights; wzdt carries 1/res and
-        wzntx = wznt/res (for the x derivative output).
+      wznt/wzdt/wzntx: (SP, ncell) z weights RELATIVE to ``col0``;
+        wzdt carries 1/res and wzntx = wznt/res (for the x derivative
+        output);
+      ncell: static number of z-cells processed (multiple of zc; the
+        full grid's nzp, or a smaller window);
+      col0: first z-cell processed — a traced scalar for the dynamic
+        z-window (solve_pallas._lookup) or the static 0 default.  Cell
+        offsets are NP=128 lanes, so any cell start is lane-aligned.
     Returns d, gx, gy, gz as (SP, 1).
 
     The x contraction is ONE stacked bf16 matmul per z-chunk at DEFAULT
@@ -130,29 +137,19 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
     Stacking both corner row sets also avoids M-tile padding waste
     (2 x 184 -> 2 x 256 rows vs 368 -> 384).  X0/X1 are y-reduced
     immediately — in one stacked op per chunk — and the x-fraction
-    blend happens on the reduced (SP, nzp) columns (blend and reduction
-    commute): a blended (SP, zc, NP) tensor next to X would overflow
-    the Mosaic VMEM stack.
-
-    ``zskip``: skip z-chunks no sample's z-corners fall in — wznt/wzdt
-    are 2-hot in z, so a chunk containing no sample's (iz, iz+1) pair
-    contributes identically zero to every output.  The chunk's dot +
-    reductions are guarded by ``pl.when`` writes into caller-provided
-    VMEM scratch (``sn_ref``/``sd_ref``, (2*SP, nzp) f32 each) — a
-    lax.cond variant was measured 1.9x SLOWER on chip (Mosaic
-    predicates both branches; pl.when lowers to real control flow).
-    Exact in exact arithmetic (bitwise as pure JAX); the compiled
-    kernel may reassociate the surrounding reductions, so whole-solve
-    outputs agree at the usual kernel-vs-path tolerances rather than
-    bitwise.  Quadrotor trajectories are nearly constant-altitude, so
-    typically 1-2 of nzp/zc chunks are live and the lookup's dominant
-    compute scales down proportionally.
+    blend happens on the reduced (SP, ncell) columns (blend and
+    reduction commute): a blended (SP, zc, NP) tensor next to X would
+    overflow the Mosaic VMEM stack.  The per-chunk bodies are
+    UNCONDITIONAL straight-line code so Mosaic can overlap chunk k+1's
+    MXU dot with chunk k's VPU y-reduction (a per-chunk pl.when "skip
+    dead chunks" variant serialized that pipeline and lost most of its
+    savings; lax.cond predicates both branches and was 1.9x slower).
 
     ``ablate`` (profiling only — WRONG results): "xdot" replaces the
     MXU contraction with a broadcast of the same output shape (NOTE:
     drops the grid read, so its delta includes any non-overlapped grid
     DMA); "yreduce" computes the real lane reductions only for the
-    first z-chunk and reuses them (delta ~= (1 - zc/nzp) of the
+    first z-chunk and reuses them (delta ~= (1 - zc/ncell) of the
     y-reduction cost — a lane-slice stand-in measured SLOWER than the
     reduction itself).  Time attribution = full kernel wall time minus
     the ablated variant's."""
@@ -160,66 +157,39 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
     wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
     wyd2 = jnp.concatenate([wyd, wyd], axis=0)
     sn_p, sd_p = [], []
-    for zb in range(nzp // zc):
-        def chunk(zb=zb):
-            if "xdot" in ablate:
-                X = jnp.broadcast_to(
-                    wx01[:, 0:1, None].astype(jnp.float32),
-                    (2 * SP, zc, NP),
-                )
-            else:
-                Gb = grid_ref[0][:, zb * zc * NP:(zb + 1) * zc * NP]
-                X = jnp.dot(
-                    wx01, Gb, preferred_element_type=jnp.float32,
-                    precision=prec,
-                ).reshape(2 * SP, zc, NP)
-            if "yreduce" in ablate and zb > 0 and sn_p:
-                # scalar tap keeps this chunk's X (and its dot) alive
-                return (sn_p[0] + X[0, 0, 0] * 1e-9,
-                        sd_p[0] + X[0, 0, 0] * 1e-9)
-            return (
-                jnp.sum(X * wyn2, axis=2),    # (2*SP, zc)
-                jnp.sum(X * wyd2, axis=2),
+    for zb in range(ncell // zc):
+        if "xdot" in ablate:
+            X = jnp.broadcast_to(
+                wx01[:, 0:1, None].astype(jnp.float32),
+                (2 * SP, zc, NP),
             )
-
-        if zskip:
-            cols = slice(zb * zc, (zb + 1) * zc)
-            hit = jnp.any(
-                (wznt[:, cols] != 0.0) | (wzdt[:, cols] != 0.0)
+        elif functional:
+            # grid_ref is a plain ARRAY (pure-JAX property tests; an
+            # isinstance dispatch can't work — in-kernel ref tracers
+            # also pass isinstance(x, jax.Array))
+            Gb = jax.lax.dynamic_slice_in_dim(
+                grid_ref[0], (col0 + zb * zc) * NP, zc * NP, axis=1
             )
-            if sn_ref is None:
-                # ref-less (pure-JAX) functional form, for exactness
-                # property tests; in-kernel callers pass scratch refs
-                # (lax.cond predicates both branches under Mosaic)
-                zeros = jnp.zeros((2 * SP, zc), jnp.float32)
-                sn_c, sd_c = jax.lax.cond(
-                    hit, chunk, lambda: (zeros, zeros)
-                )
-                sn_p.append(sn_c)
-                sd_p.append(sd_c)
-                continue
-
-            @pl.when(hit)
-            def _(zb=zb, cols=cols):
-                sn_c, sd_c = chunk(zb)
-                sn_ref[:, cols] = sn_c
-                sd_ref[:, cols] = sd_c
-
-            @pl.when(jnp.logical_not(hit))
-            def _(cols=cols):
-                sn_ref[:, cols] = jnp.zeros((2 * SP, zc), jnp.float32)
-                sd_ref[:, cols] = jnp.zeros((2 * SP, zc), jnp.float32)
+            X = jnp.dot(
+                wx01, Gb, preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(2 * SP, zc, NP)
         else:
-            sn_c, sd_c = chunk()
-            sn_p.append(sn_c)
-            sd_p.append(sd_c)
+            Gb = grid_ref[0, :, pl.ds((col0 + zb * zc) * NP, zc * NP)]
+            X = jnp.dot(
+                wx01, Gb, preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(2 * SP, zc, NP)
+        if "yreduce" in ablate and zb > 0:
+            # scalar tap keeps this chunk's X (and its dot) alive
+            sn_p.append(sn_p[0] + X[0, 0, 0] * 1e-9)
+            sd_p.append(sd_p[0] + X[0, 0, 0] * 1e-9)
+            continue
+        sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
+        sd_p.append(jnp.sum(X * wyd2, axis=2))
 
-    if zskip and sn_ref is not None:
-        sn = sn_ref[...]   # (2*SP, nzp)
-        sd = sd_ref[...]
-    else:
-        sn = jnp.concatenate(sn_p, axis=1)   # (2*SP, nzp)
-        sd = jnp.concatenate(sd_p, axis=1)
+    sn = jnp.concatenate(sn_p, axis=1)   # (2*SP, ncell)
+    sd = jnp.concatenate(sd_p, axis=1)
     r0n, r1n = sn[:SP], sn[SP:]
     r0d, r1d = sd[:SP], sd[SP:]
 

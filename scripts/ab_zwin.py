@@ -1,8 +1,8 @@
-"""Chip A/B: whole-descent kernel with vs without z-chunk skipping.
+"""Chip A/B: whole-descent kernel dynamic z-window widths.
 
 Times descend_fused at B=1024 (same scenario distribution as bench.py)
-with zskip=True and zskip=False, and cross-checks outputs.  One JSON
-line per arm.  Run on the real chip.
+for zwin in {0 (off), 2, 3} chunks, and cross-checks outputs against
+the full-depth path.  One JSON line per arm.  Run on the real chip.
 """
 
 import json
@@ -51,11 +51,11 @@ def main():
     phases = ((2, cfg.iters_step2),)
 
     outs = {}
-    for zskip in (False, True):
+    for zwin in (0, 2, 3):
         # descend_fused is itself jitted; an argless jit wrapper here
         # would bake kargs (incl. all grids) into the HLO as constants
         # and overflow the tunnel's remote-compile request limit.
-        run = lambda: sk.descend_fused(*kargs, phases, cfg, zskip=zskip)
+        run = lambda: sk.descend_fused(*kargs, phases, cfg, zwin=zwin)
         o = run()
         _ = float(jnp.sum(o[1]))  # compile + host-read sync
         times = []
@@ -64,21 +64,23 @@ def main():
             _ = float(jnp.sum(run()[1]))
             times.append(time.perf_counter() - t0)
         t = min(times)
-        outs[zskip] = o
+        outs[zwin] = o
         print(json.dumps({
-            "zskip": zskip, "t_s": round(t, 4),
+            "zwin": zwin, "t_s": round(t, 4),
             "solves_per_s": round(BATCH / t, 1),
         }), flush=True)
 
-    dp_f, cost_f = np.asarray(outs[False][0]), np.asarray(outs[False][1])
-    dp_t, cost_t = np.asarray(outs[True][0]), np.asarray(outs[True][1])
-    rel = np.abs(cost_t - cost_f) / np.maximum(np.abs(cost_f), 1e-6)
-    print(json.dumps({
-        "cost_rel_p50": float(np.median(rel)),
-        "cost_rel_p99": float(np.quantile(rel, 0.99)),
-        "cost_rel_max": float(rel.max()),
-        "dp_absmax": float(np.abs(dp_t - dp_f).max()),
-    }), flush=True)
+    dp_f, cost_f = np.asarray(outs[0][0]), np.asarray(outs[0][1])
+    for zwin in (2, 3):
+        dp_t, cost_t = np.asarray(outs[zwin][0]), np.asarray(outs[zwin][1])
+        rel = np.abs(cost_t - cost_f) / np.maximum(np.abs(cost_f), 1e-6)
+        print(json.dumps({
+            "zwin": zwin,
+            "cost_rel_p50": float(np.median(rel)),
+            "cost_rel_p99": float(np.quantile(rel, 0.99)),
+            "cost_rel_max": float(rel.max()),
+            "dp_absmax": float(np.abs(dp_t - dp_f).max()),
+        }), flush=True)
 
 
 if __name__ == "__main__":

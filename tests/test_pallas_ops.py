@@ -81,12 +81,13 @@ def test_trilinear_fused_matches_mxu_per_sample():
     assert np.all(np.asarray(g_f)[:, -20:] == 0.0)
 
 
-def test_solve_kernel_zskip_is_exact():
-    """z-chunk skipping: skipped chunks have identically zero
+def test_solve_kernel_zwin_is_exact():
+    """Dynamic z-window: excluded columns have identically zero
     z-weights, so the lookup is exact in exact arithmetic (the pure-JAX
-    property test below is bitwise).  The compiled kernel may
-    reassociate reductions around the lax.cond, so whole-solve outputs
-    are compared at the standard kernel-vs-path tolerances."""
+    property test below is bitwise, covering both the fitting-window
+    and the full-depth-fallback branches).  The compiled kernel may
+    reassociate reductions, so whole-solve outputs are compared at the
+    standard kernel-vs-path tolerances."""
     import numpy as np
     from grad_traj_optimization_tpu import solver as solve_mod
     from grad_traj_optimization_tpu.config import (
@@ -114,10 +115,10 @@ def test_solve_kernel_zskip_is_exact():
     batch = solve_mod.Scenario(*batch)
     kargs, _ = solve_mod.kernel_inputs(batch, cfg)
     out_skip = sk.descend_fused(
-        *kargs, ((2, 8),), cfg, interpret=True, zskip=True
+        *kargs, ((2, 8),), cfg, interpret=True, zwin=2
     )
     out_full = sk.descend_fused(
-        *kargs, ((2, 8),), cfg, interpret=True, zskip=False
+        *kargs, ((2, 8),), cfg, interpret=True, zwin=0
     )
     np.testing.assert_allclose(
         np.asarray(out_skip[1]), np.asarray(out_full[1]), rtol=5e-3
@@ -139,15 +140,22 @@ def test_solve_kernel_zskip_is_exact():
     misc[0, 3] = map_cfg.resolution
     misc = jnp.asarray(misc)
     rng = np.random.default_rng(0)
-    for _ in range(20):
+    valid = jnp.ones((tp.SP, 1), bool)
+    n_fit = 0
+    for trial in range(20):
+        # alternate narrow z-bands (window fits) and full-range
+        # positions (fallback branch)
+        zlo, zhi = ((1.0, 2.5) if trial % 2 == 0 else (-0.5, 6.5))
         pos = jnp.asarray(
             rng.uniform(
-                [-4.5, -4.5, -0.5], [4.5, 4.5, 6.5], size=(tp.SP, 3)
+                [-4.5, -4.5, zlo], [4.5, 4.5, zhi], size=(tp.SP, 3)
             ).astype(np.float32)
         )
         d1, g1 = sk._lookup(gp, pos, misc, grid_shape, nzp, zc,
-                            zskip=False)
+                            zwin=0, functional=True)
         d2, g2 = sk._lookup(gp, pos, misc, grid_shape, nzp, zc,
-                            zskip=True)
+                            zwin=2, valid=valid, functional=True)
+        n_fit += int(trial % 2 == 0)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert n_fit > 0

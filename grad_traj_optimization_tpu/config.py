@@ -193,10 +193,24 @@ TEXT_INPUT_CONFIG = OptimizerConfig(
 # Ours (no reference counterpart): nonmonotone acceptance + dual-seed
 # racing at the same 100-evaluation budget as the default config.
 # Measured on chip (B=1024 random scenarios): geomean final cost 0.53x
-# the default config's, p99 ratio 1.32, ~2% throughput cost.
+# the default config's, p95 ratio 1.14, p99 ratio 1.39, ~2% throughput
+# cost.
 TURBO_CONFIG = OptimizerConfig(
     accept_window=8,
     seed_mode="dual",
     iters_step2=70,
+    dual_ms_iters=30,
+)
+
+# The fast-budget point: 60 evaluations (30 per seed arm).  Measured on
+# chip vs the default config at B=1024: 1.57x throughput (2217 vs 1411
+# solves/s) AND geomean final cost 0.59x — but a fat tail (p95 ratio
+# 1.72, p99 2.88).  Use when median latency matters more than
+# worst-case solution quality (e.g. high-rate replanning, where the
+# next tick re-solves anyway).
+TURBO_FAST_CONFIG = OptimizerConfig(
+    accept_window=8,
+    seed_mode="dual",
+    iters_step2=30,
     dual_ms_iters=30,
 )

@@ -475,3 +475,20 @@ def test_dual_seed_picks_per_lane_best():
             rtol=1e-6,
         )
     assert np.all(np.asarray(s_dual.status) == solve_mod.STATUS_OK)
+
+
+def test_turbo_presets_are_dual_seed():
+    """The shipped turbo presets must stay valid configs on the kernel
+    path (hashable, dual-seed, within the kernel's support envelope)."""
+    from grad_traj_optimization_tpu.config import (
+        TURBO_CONFIG, TURBO_FAST_CONFIG,
+    )
+
+    for cfg in (TURBO_CONFIG, TURBO_FAST_CONFIG):
+        hash(cfg)
+        assert cfg.seed_mode == "dual"
+        assert cfg.accept_window == 8
+        assert cfg.dual_ms_iters > 0
+    # the measured budgets: 70+30 (quality) and 30+30 (fast)
+    assert TURBO_CONFIG.iters_step2 == 70
+    assert TURBO_FAST_CONFIG.iters_step2 == 30

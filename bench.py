@@ -120,7 +120,9 @@ def main():
         times_t.append(time.perf_counter() - t0)
     t_turbo = min(times_t)
     ratio = np.asarray(sols_t.cost) / np.asarray(sols.cost)
-    ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+    keep = np.isfinite(ratio) & (ratio > 0)
+    n_excluded = int((~keep).sum())  # diverged lanes (either config)
+    ratio = ratio[keep]
 
     n_ok = int(jnp.sum(sols.status == 0))
     baseline_solves_per_s = 10.0  # reference: ~0.1 s/solve budget
@@ -146,6 +148,7 @@ def main():
                 "turbo_cost_p99_ratio": round(
                     float(np.percentile(ratio, 99)), 3
                 ),
+                "turbo_n_excluded": n_excluded,
                 "device": str(jax.devices()[0]),
             }
         )

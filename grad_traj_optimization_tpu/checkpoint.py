@@ -21,21 +21,26 @@ def _leaves_with_paths(tree):
 
 
 def save(path: str, tree) -> str:
-    """Save a pytree (Scenario/Solution batch, solver state, ...)."""
+    """Save a pytree (Scenario/Solution batch, solver state, ...).
+
+    Falls back to .npz only when orbax is *not installed*; a real orbax
+    write failure (permissions, disk full, bad tree) propagates instead
+    of silently changing the on-disk format.
+    """
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), tree, force=True)
-        ckptr.wait_until_finished()
-        return path
-    except Exception:
+    except ImportError:
         flat, _ = jax.tree_util.tree_flatten(tree)
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
         )
         return path if path.endswith(".npz") else path + ".npz"
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+    return path
 
 
 def restore(path: str, like):

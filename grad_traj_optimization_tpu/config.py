@@ -190,6 +190,39 @@ TEXT_INPUT_CONFIG = OptimizerConfig(
     init_time=0.0,
 )
 
+# launch/click.launch:3-37 (ws=20, wc=0.1, alpha=10, d0=0.7, r=0.5,
+# mean_v=1, init_time=0.3, alphav=alphaa=0.1).  The click node is the
+# LEGACY optimizer API (example_click.cpp, commented out of the build);
+# its launch sets nonzero velocity/acceleration penalty scales, which
+# this rebuild honors (the modern back-end comments the usage out —
+# grad_traj_optimizer.cpp:382-407 — so the modern reference would
+# ignore them; set alpha_v=alpha_a=0 for that behavior).
+CLICK_CONFIG = OptimizerConfig(
+    w_smooth=20.0,
+    w_collision=0.1,
+    alpha=10.0,
+    d0=0.7,
+    r=0.5,
+    alpha_v=0.1,
+    alpha_a=0.1,
+    mean_v=1.0,
+    init_time=0.3,
+)
+
+# launch/compare2.launch:3-28 (ws=20, wc=1, alpha=10, d0=0.8, r=0.5,
+# mean_v=1.8, init_time=0.3; step-2 budget 0.01 s — the tightest of all
+# presets, reflected here as a short step-2 iteration budget).
+COMPARE2_CONFIG = OptimizerConfig(
+    w_smooth=20.0,
+    w_collision=1.0,
+    alpha=10.0,
+    d0=0.8,
+    r=0.5,
+    mean_v=1.8,
+    init_time=0.3,
+    iters_step2=25,
+)
+
 # Ours (no reference counterpart): nonmonotone acceptance + dual-seed
 # racing at the same 100-evaluation budget as the default config.
 # Measured on chip (B=1024 random scenarios): geomean final cost 0.53x

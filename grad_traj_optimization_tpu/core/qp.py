@@ -231,8 +231,9 @@ def min_snap_dp(Df, Rpp, Rfp):
     si = 1.0 / diag
     rs = Rpp * si[:, None] * si[None, :]
     rhs = -_einsum("xf,fp->xp", Df, Rfp) * si[None, :]  # (3, P)
-    z = jnp.linalg.solve(rs[None].repeat(3, axis=0), rhs[..., None])
-    return z[..., 0] * si[None, :]
+    # one factorization, 3 RHS columns (the axes share the same Rpp)
+    z = jnp.linalg.solve(rs, rhs.T).T
+    return z * si[None, :]
 
 
 def kino_d(pos, vel, acc):
@@ -348,9 +349,8 @@ def min_snap_coeff(waypoints, start_vel, start_acc, end_vel, end_acc, T):
     s_inv = 1.0 / diag
     rpp_s = Rpp * s_inv[:, None] * s_inv[None, :]
     rhs = -_einsum("xf,fp->xp", df, Rfp) * s_inv[None, :]  # (3, num_p)
-    dp = jnp.linalg.solve(
-        rpp_s[None].repeat(3, axis=0), rhs[..., None]
-    )[..., 0] * s_inv[None, :]
+    # one factorization, 3 RHS columns (the axes share the same Rpp)
+    dp = jnp.linalg.solve(rpp_s, rhs.T).T * s_inv[None, :]
 
     d = jnp.concatenate([df, dp], axis=1)  # (3, 4m+2)
     D = d[:, jnp.asarray(idx)]  # (3, 6m)

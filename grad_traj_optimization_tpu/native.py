@@ -25,11 +25,24 @@ _NATIVE_DIR = os.path.join(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its sources (a stale
+    prebuilt library would silently ignore newer cfg ABI fields)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in ("gtop_core.cpp", "Makefile"):
+        src = os.path.join(_NATIVE_DIR, name)
+        if os.path.exists(src) and os.path.getmtime(src) > so_mtime:
+            return True
+    return False
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True,

@@ -108,18 +108,21 @@ def _fly_tick(coeff, T, t_fly, dist_grid, origin, resolution):
     saves ~0.5 s/tick of eager dispatch on a remote-TPU link)."""
     p = poly.evaluate(coeff, T, t_fly, deriv=0)
     v = poly.evaluate(coeff, T, t_fly, deriv=1)
-    samples, _ = poly.sample_uniform(coeff, T, 100)
+    samples, sample_ts = poly.sample_uniform(coeff, T, 100)
     dmin = jnp.min(
         sdf.distance_at(dist_grid, origin, resolution, samples)
     )
-    return p, v, samples, dmin
+    return p, v, samples, sample_ts, dmin
 
 
 @jax.jit
-def _clearance_dynamic(dist_grid, origin, resolution, samples, t, pred):
+def _clearance_dynamic(dist_grid, origin, resolution, samples, ts, pred):
+    """Space-time clearance: sample i is evaluated at ITS planned flight
+    time ts[i] (absolute), not a single snapshot time — a box crossing
+    the path between ticks is caught at the sample it threatens."""
     return jnp.min(
         dynamic.evaluate_coarse(
-            dist_grid, origin, resolution, samples, t, pred
+            dist_grid, origin, resolution, samples, ts, pred
         )
     )
 
@@ -223,25 +226,27 @@ def replan_loop(
 
         # 4. fly replan_dt along the refined trajectory
         t_fly = min(rcfg.replan_dt, float(np.sum(np.asarray(T))))
-        p, v, samples, dmin_static = _fly_tick(
+        p, v, samples, sample_ts, dmin_static = _fly_tick(
             coeff, T, jnp.asarray(t_fly, jnp.float32), dist_grid, origin,
             jnp.asarray(resolution, jnp.float32),
         )
-        state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
-            np.float64
-        )
+        t_start = t_now  # trajectory local time 0 == this tick's start
         t_now += t_fly
 
         if pred is not None:
+            # each sample evaluated at its own planned flight time
             dmin = float(
                 _clearance_dynamic(
                     dist_grid, origin,
                     jnp.asarray(resolution, jnp.float32), samples,
-                    jnp.asarray(t_now, jnp.float32), pred,
+                    jnp.asarray(t_start, jnp.float32) + sample_ts, pred,
                 )
             )
         else:
             dmin = float(dmin_static)
+        state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
+            np.float64
+        )
 
         results.append(
             TickResult(

@@ -91,7 +91,6 @@ def simplify_masked(curve, valid, epsilon: float, max_depth: int = 10):
         dist = jnp.where(interior, dist, -1.0)
         # per-chord argmax via segment trick: one-hot the max in each chord
         # chords are contiguous; use start as segment id
-        order = dist + 1e-9 * 0  # stability noop
         seg_max = jax.ops.segment_max(
             dist, start, num_segments=n, indices_are_sorted=True
         )

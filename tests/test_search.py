@@ -83,6 +83,48 @@ def test_rdp_keeps_deviating_point():
     assert len(simp) == 3  # middle point deviates > eps
 
 
+def test_rdp_masked_matches_host():
+    """simplify_masked keeps a superset of points within the same epsilon
+    tolerance, and the masked polyline stays within epsilon of the host
+    result's geometry."""
+    rng = np.random.default_rng(3)
+    # noisy arc: forces multiple split levels
+    t = np.linspace(0, np.pi, 60)
+    curve = np.stack(
+        [np.cos(t), np.sin(t), 0.05 * rng.standard_normal(60)], axis=-1
+    )
+    eps = 0.08
+    host = rdp.simplify(curve, eps)
+
+    pad = 4  # exercise the padding path
+    padded = np.concatenate([curve, np.repeat(curve[-1:], pad, 0)], 0)
+    valid = np.arange(len(padded)) < len(curve)
+    keep = np.asarray(rdp.simplify_masked(
+        jnp.asarray(padded), jnp.asarray(valid), eps
+    ))
+    kept = padded[keep]
+    # endpoints kept
+    np.testing.assert_allclose(kept[0], curve[0])
+    np.testing.assert_allclose(kept[-1], curve[-1])
+    assert not keep[len(curve):].any()  # padding never kept
+    # RDP contract: every input point within eps of the kept polyline
+    seg = kept[1:] - kept[:-1]
+
+    def pt_seg_dist(p):
+        v = p[None] - kept[:-1]
+        tt = np.clip(
+            (v * seg).sum(-1) / np.maximum((seg * seg).sum(-1), 1e-12),
+            0, 1,
+        )
+        proj = kept[:-1] + tt[:, None] * seg
+        return np.linalg.norm(p[None] - proj, axis=-1).min()
+
+    max_dev = max(pt_seg_dist(p) for p in curve)
+    assert max_dev <= eps + 1e-6
+    # comparable sparsity to the host result (same epsilon)
+    assert keep.sum() <= len(host) + 4
+
+
 def test_const_vel_prediction():
     t = np.array([[0.0, 0.5, 1.0]])
     pos = np.array([[[0, 0, 1], [0.5, 0, 1], [1.0, 0, 1]]], np.float32)

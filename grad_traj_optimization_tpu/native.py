@@ -23,6 +23,7 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
+_ABI_VERSION = 2  # must match gtop_abi_version() in gtop_core.cpp
 
 
 def _stale() -> bool:
@@ -51,6 +52,15 @@ def _load():
         except Exception as e:  # toolchain missing — stay unavailable
             raise RuntimeError(f"native build failed: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        abi = lib.gtop_abi_version()
+    except AttributeError:
+        abi = 1
+    if abi != _ABI_VERSION:
+        raise RuntimeError(
+            f"libgtop_core.so ABI {abi} != expected {_ABI_VERSION}; "
+            "run `make -B -C native`"
+        )
     f32p = ctypes.POINTER(ctypes.c_float)
     f64p = ctypes.POINTER(ctypes.c_double)
 
@@ -144,6 +154,7 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
                 getattr(cfg, "seed_mode", "reference")
             ],
             float(getattr(cfg, "dual_ms_iters", 0)),
+            cfg.alpha_v, cfg.v0, cfg.r_v, cfg.alpha_a, cfg.a0, cfg.r_a,
         ],
         dtype=np.float64,
     )

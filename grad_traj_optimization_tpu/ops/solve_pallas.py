@@ -193,11 +193,28 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
 
 
 def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
-                  gp_ref, apos_ref, avel_ref, tltv_ref, rpp_ref,
-                  cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
-                  misc_ref, odp_ref, osc_ref, otr_ref,
-                  dg_ref=None):
-    """One scenario's complete multi-phase descent."""
+                  *refs):
+    """One scenario's complete multi-phase descent.
+
+    ``refs`` is the positional ref pack from pallas_call: 12 inputs
+    (13 with the acceleration chain when cfg.alpha_a != 0), 3 outputs,
+    then the optional z-window scratch.
+    """
+    use_a = cfg.alpha_a != 0.0
+    use_v = cfg.alpha_v != 0.0
+    n_in = 13 if use_a else 12
+    if use_a:
+        (gp_ref, apos_ref, avel_ref, aacc_ref, tltv_ref, rpp_ref,
+         cgt_ref, lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
+         misc_ref) = refs[:n_in]
+    else:
+        (gp_ref, apos_ref, avel_ref, tltv_ref, rpp_ref, cgt_ref,
+         lbT_ref, ubT_ref, dp0T_ref, dts_ref, dfT_ref,
+         misc_ref) = refs[:n_in]
+        aacc_ref = None
+    odp_ref, osc_ref, otr_ref = refs[n_in:n_in + 3]
+    dg_ref = refs[n_in + 3] if len(refs) > n_in + 3 else None
+
     HI = jax.lax.Precision.HIGHEST
     apos = apos_ref[0]  # (SP, ndim)
     avel = avel_ref[0]
@@ -214,7 +231,7 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
     ref_grad = cfg.gradient_mode == "reference"
     valid = dts > 0.0  # (SP, 1); padded sample rows have dt == 0
 
-    def cost_and_grad(dpT, ws):
+    def cost_and_grad(dpT, ws, step):
         d_full = jnp.concatenate([dfT, dpT], axis=0)  # (ndim, 3)
         # smoothness: d^T R d and its dp-gradient (penalty._smooth)
         z = jnp.dot(rpp, dpT, precision=HI)  # (P, 3)
@@ -263,18 +280,76 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
         w1 = (w_dist * dts) * g          # (SP, 3)
         w2 = ((cd / vn) * dts) * vel
         P = tltv.shape[0]
+
+        # velocity/acceleration penalties (wv = wa = 1, step 2 only;
+        # grad_traj_optimizer.cpp:382-407, :517-535 — see opt/penalty.
+        # _va_weights for the two reference-mode quirks replicated)
+        va = step == 2 and (use_v or use_a)
+        cost_va = 0.0
+        if va:
+            w_tvl = jnp.zeros_like(vel)  # extra TVL-chain weights
+            if use_v:
+                cv = cfg.alpha_v * jnp.exp(
+                    (jnp.abs(vel) - cfg.v0) / cfg.r_v
+                )
+                gv = cv / cfg.r_v
+                if ref_grad:
+                    cfac = cv[:, 2:3]  # stale-cv quirk (last axis)
+                else:
+                    gv = gv * jnp.sign(vel)
+                    cfac = jnp.sum(cv, axis=1, keepdims=True)
+                cost_va += jnp.sum(
+                    jnp.sum(cv, axis=1, keepdims=True) * vn * dts
+                )
+                w_tvl += gv * vn + cfac * vel / vn
+            if use_a:
+                acc = jnp.dot(aacc_ref[0], d_full, precision=HI)
+                ca = cfg.alpha_a * jnp.exp(
+                    (jnp.abs(acc) - cfg.a0) / cfg.r_a
+                )
+                ga = ca / cfg.r_a
+                if ref_grad:
+                    cafac = ca[:, 2:3]
+                else:
+                    ga = ga * jnp.sign(acc)
+                    cafac = jnp.sum(ca, axis=1, keepdims=True)
+                cost_va += jnp.sum(
+                    jnp.sum(ca, axis=1, keepdims=True) * vn * dts
+                )
+                w_tvl += cafac * vel / vn
+                w_tal = (ga * vn) * dts
+
         if "graddots" in ablate:
             grad_c = w1[:P] + w2[:P]  # (P, 3) sublane slice
+            grad = ws * grad_s + cfg.w_collision * grad_c
+        elif va:
+            # fold wc into the collision weights so the single merged
+            # dot carries both the wc-scaled collision chains and the
+            # unit-weight vel/acc chains
+            wc = cfg.w_collision
+            blocks = [wc * w1, wc * w2 + w_tvl * dts]
+            if use_a:
+                blocks.append(w_tal)
+            grad = ws * grad_s + jnp.dot(
+                tltv, jnp.concatenate(blocks, axis=0), precision=HI
+            )
         else:
             # ONE K-stacked dot instead of tlT@w1 + tvlT@w2: the MXU
             # pads K per dot (184 -> 256 twice vs 368 -> 384 once),
             # so merging cuts ~25% of this op's passes — measured
             # ~3.5 us/scenario-iter for the split pair (ablation).
+            pad_a = tltv.shape[1] - 2 * SP  # TAL block present, unused
             w12 = jnp.concatenate([w1, w2], axis=0)  # (2*SP, 3)
+            if pad_a > 0:
+                w12 = jnp.concatenate(
+                    [w12, jnp.zeros((pad_a, 3), w12.dtype)], axis=0
+                )
             grad_c = jnp.dot(tltv, w12, precision=HI)  # (P, 3)
+            grad = ws * grad_s + cfg.w_collision * grad_c
 
-        cost = ws * cost_s + cfg.w_collision * cost_c + cfg.cost_eps
-        grad = ws * grad_s + cfg.w_collision * grad_c
+        cost = ws * cost_s + cfg.w_collision * cost_c + cost_va + (
+            cfg.cost_eps
+        )
         if ref_grad:
             grad = grad + cfg.grad_eps
         return cost, grad
@@ -293,7 +368,7 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
     offset = 0
     for step, iters in phases:
         ws = 0.0 if step == 1 else cfg.w_smooth
-        c0, g0 = cost_and_grad(dpT, ws)
+        c0, g0 = cost_and_grad(dpT, ws, step)
         gnorm = jnp.sqrt(jnp.sum(g0 * g0))
         lr = cfg.lr0 / (gnorm + 1e-12)
         scale = jnp.ones(())
@@ -304,12 +379,12 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
         hist = jnp.full((1, W), c0)
         ptr = jnp.zeros((), jnp.int32)
 
-        def body(it, state, _off=offset):
+        def body(it, state, _off=offset, _step=step):
             (dpT, grad, lr, scale, hist, ptr, cost, best_dpT,
              n_acc, trace) = state
             stepsz = lr * scale
             cand = jnp.clip(dpT - stepsz * grad, lbT, ubT)
-            c2, g2 = cost_and_grad(cand, ws)
+            c2, g2 = cost_and_grad(cand, ws, _step)
             acc = c2 < jnp.max(hist)
             s = cand - dpT
             y = g2 - grad
@@ -361,7 +436,7 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
                      "ablate", "zwin"),
 )
 def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
-                  lbT, ubT, dp0T, dts, dfT, misc, phases, cfg,
+                  lbT, ubT, dp0T, dts, dfT, misc, aacc, phases, cfg,
                   interpret: bool = False,
                   ablate: frozenset = frozenset(),
                   zwin: int = 2):
@@ -372,10 +447,14 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
       apos/avel: (B, SP, ndim) position/velocity sampling chains
         (Tmat @ L per segment, flattened; padded sample rows zero).
       tltv: (B, P, 2*SP) gradient chains [TL^T | TVL^T] stacked on
-        the contraction axis (one merged MXU dot per iteration).
+        the contraction axis (one merged MXU dot per iteration);
+        (B, P, 3*SP) with the TAL^T block appended when
+        cfg.alpha_a != 0 (acceleration-penalty chain).
       rpp: (B, P, P); cgt: (B, P, 3) = 2 (Df @ Rfp)^T; lbT/ubT/dp0T:
         (B, P, 3); dts: (B, SP, 1) per-sample dt (zero on pads);
       dfT: (B, 6, 3); misc: (B, 1, 8) = [origin, res, c_ff, 0...].
+      aacc: (B, SP, ndim) acceleration sampling chain, or None when
+        cfg.alpha_a == 0 (the velocity penalty needs no extra chain).
       phases: tuple of (step, iters), e.g. ((2, 100),) or
         ((1, 40), (2, 100)).
       zwin: dynamic z-window width in zc-cell chunks (see _lookup):
@@ -402,9 +481,32 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
     ndim = apos.shape[2]
     total_iters = sum(it for _, it in phases)
 
+    use_a = cfg.alpha_a != 0.0
+    if use_a and aacc is None:
+        raise ValueError("cfg.alpha_a != 0 requires the aacc chain")
+
     spec = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        spec((tp.PLANES * NP, nzp * NP)),
+        spec((SP, ndim)),
+        spec((SP, ndim)),
+        *([spec((SP, ndim))] if use_a else []),
+        spec((P, tltv.shape[2])),
+        spec((P, P)),
+        spec((P, 3)),
+        spec((P, 3)),
+        spec((P, 3)),
+        spec((P, 3)),
+        spec((SP, 1)),
+        spec((6, 3)),
+        spec((1, 8)),
+    ]
+    operands = (
+        gp, apos, avel, *([aacc] if use_a else []), tltv, rpp, cgt,
+        lbT, ubT, dp0T, dts, dfT, misc,
     )
     odp, osc, otr = pl.pallas_call(
         functools.partial(
@@ -412,20 +514,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
             zwin,
         ),
         grid=(B,),
-        in_specs=[
-            spec((tp.PLANES * NP, nzp * NP)),
-            spec((SP, ndim)),
-            spec((SP, ndim)),
-            spec((P, 2 * SP)),
-            spec((P, P)),
-            spec((P, 3)),
-            spec((P, 3)),
-            spec((P, 3)),
-            spec((P, 3)),
-            spec((SP, 1)),
-            spec((6, 3)),
-            spec((1, 8)),
-        ],
+        in_specs=in_specs,
         out_specs=[spec((P, 3)), spec((1, 8)), spec((1, total_iters))],
         out_shape=[
             jax.ShapeDtypeStruct((B, P, 3), jnp.float32),
@@ -440,8 +529,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(gp, apos, avel, tltv, rpp, cgt, lbT, ubT, dp0T, dts, dfT,
-      misc)
+    )(*operands)
     return (
         odp,
         osc[:, 0, 0],

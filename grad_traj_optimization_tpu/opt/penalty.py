@@ -24,9 +24,20 @@ trilinear gather.  Two gradient formulas are provided:
 * ``exact`` is the true analytic gradient of the sampled objective
   (computed in closed form, same tensor contraction — not autodiff).
 
-The vestigial velocity/acceleration penalties (:382-407 are commented out
-in the reference, so cost_vel = cost_acc = 0 always) are replicated by
-omission; the exponential penalty helpers live here for the search layer.
+The velocity/acceleration penalties (helpers grad_traj_optimizer.cpp:
+517-535; usage block :382-407 commented out in the reference, weights
+wv = wa = 1.0 fixed at :412) are implemented and gated by
+``cfg.alpha_v`` / ``cfg.alpha_a``: the defaults of 0 reproduce the
+reference's cost_vel = cost_acc = 0 exactly; nonzero scales (e.g. the
+click.launch preset) enable them.  ``gradient_mode="reference"``
+replicates the commented block faithfully, including its two quirks:
+the |v| / |a| penalty "gradient" carries no sign factor (:521-526,
+:533-535), and the second per-axis loop reuses the cv/ca values left
+over from the LAST axis of the first loop (the z axis) in the
+``c * v_k/||v||`` terms.  ``gradient_mode="exact"`` is the true
+analytic gradient of the same sampled cost.  Like the collision term,
+both are skipped when |wc| < 1e-4 (the reference breaks out of the
+whole sampling loop, :346) and only active in step 2 (:385).
 """
 
 from __future__ import annotations
@@ -91,6 +102,8 @@ class PenaltyCtx:
     TL: Any         # (m, K, num_dp)  T(t) @ Ldp      (gradient chain)
     TVL: Any        # (m, K, num_dp)  T(t) @ V @ Ldp
     dt: Any         # (m,) integration step per segment
+    TAmat: Any = None  # (m, K, 6) acceleration basis (alpha_a only)
+    TAL: Any = None    # (m, K, num_dp)  T(t) @ V @ V @ Ldp (alpha_a only)
 
 
 def build_ctx(T, Df, cfg: OptimizerConfig, dep: qp.QPDep | None = None):
@@ -106,10 +119,56 @@ def build_ctx(T, Df, cfg: OptimizerConfig, dep: qp.QPDep | None = None):
     TVmat = poly.vel_powers(ts)
     TL = _einsum("mkj,mjd->mkd", Tmat, dep.Ldp)
     TVL = _einsum("mkj,mjd->mkd", TVmat, dep.Ldp)
+    TAmat = TAL = None
+    if cfg.alpha_a != 0.0:  # acceleration-penalty chains (T V V Ldp)
+        TAmat = poly.acc_powers(ts)
+        TAL = _einsum("mkj,mjd->mkd", TAmat, dep.Ldp)
     return PenaltyCtx(
         T=T, dep=dep, Df=jnp.asarray(Df), Tmat=Tmat, TVmat=TVmat,
-        TL=TL, TVL=TVL, dt=T / K,
+        TL=TL, TVL=TVL, dt=T / K, TAmat=TAmat, TAL=TAL,
     )
+
+
+def _va_weights(vel, acc, vn, cfg: OptimizerConfig):
+    """Velocity/acceleration penalty costs and gradient-chain weights.
+
+    Shapes: vel/acc (..., 3); vn (...,) = ||v|| + vel_eps.  Returns
+    (cost_v, cost_a, w_tvl, w_tal) where cost_* are (...,) per-sample
+    integrands (pre-dt) and w_tvl / w_tal are (..., 3) weights to
+    contract against the TVL / TAL chains (pre-dt).  Implements the
+    reference's commented usage block (grad_traj_optimizer.cpp:382-407,
+    helpers :517-535) with wv = wa = 1 (:412); see the module docstring
+    for the two reference-mode quirks replicated here.
+    """
+    ref = cfg.gradient_mode == "reference"
+    zero = jnp.zeros_like(vel[..., 0])
+    zero3 = jnp.zeros_like(vel)
+    cost_v = cost_a = zero
+    w_tvl = w_tal = zero3
+    if cfg.alpha_v != 0.0:
+        cv = cfg.alpha_v * jnp.exp((jnp.abs(vel) - cfg.v0) / cfg.r_v)
+        gv = cv / cfg.r_v  # reference: no sign(v) factor (:521-526)
+        cost_v = jnp.sum(cv, axis=-1) * vn
+        if ref:
+            # the stale-cv quirk: cv from the LAST axis (z) multiplies
+            # every row's v_k/||v|| term (:382-407)
+            cfac = cv[..., 2:3]
+        else:
+            gv = gv * jnp.sign(vel)
+            cfac = jnp.sum(cv, axis=-1, keepdims=True)
+        w_tvl = w_tvl + gv * vn[..., None] + cfac * vel / vn[..., None]
+    if cfg.alpha_a != 0.0:
+        ca = cfg.alpha_a * jnp.exp((jnp.abs(acc) - cfg.a0) / cfg.r_a)
+        ga = ca / cfg.r_a  # reference: no sign(a) factor (:529-535)
+        cost_a = jnp.sum(ca, axis=-1) * vn
+        if ref:
+            cafac = ca[..., 2:3]  # same stale-variable quirk
+        else:
+            ga = ga * jnp.sign(acc)
+            cafac = jnp.sum(ca, axis=-1, keepdims=True)
+        w_tal = ga * vn[..., None]
+        w_tvl = w_tvl + cafac * vel / vn[..., None]
+    return cost_v, cost_a, w_tvl, w_tal
 
 
 def _sample_state(dp, ctx: PenaltyCtx):
@@ -178,7 +237,7 @@ def cost_and_grad(dp, ctx: PenaltyCtx, field: Field, grid_shape,
             grad = grad + cfg.grad_eps
         return cost, grad
 
-    _, pos, vel = _sample_state(dp, ctx)
+    coeff, pos, vel = _sample_state(dp, ctx)
     d, g, cd, gd, vn = _collision_terms(pos, vel, field, grid_shape, cfg)
 
     cost_c = _einsum("mk,m->", cd * vn, ctx.dt)
@@ -195,6 +254,17 @@ def cost_and_grad(dp, ctx: PenaltyCtx, field: Field, grid_shape,
 
     cost = ws * cost_s + wc * cost_c + cfg.cost_eps
     grad = ws * grad_s + wc * grad_c
+    # velocity/acceleration penalties (wv = wa = 1, step 2 only, :385,:412)
+    if step == 2 and (cfg.alpha_v != 0.0 or cfg.alpha_a != 0.0):
+        acc = (
+            _einsum("mkj,mxj->mkx", ctx.TAmat, coeff)
+            if cfg.alpha_a != 0.0 else None
+        )
+        cost_v, cost_a, w_tvl, w_tal = _va_weights(vel, acc, vn, cfg)
+        cost = cost + _einsum("mk,m->", cost_v + cost_a, ctx.dt)
+        grad = grad + _einsum("mkx,mkd,m->xd", w_tvl, ctx.TVL, ctx.dt)
+        if cfg.alpha_a != 0.0:
+            grad = grad + _einsum("mkx,mkd,m->xd", w_tal, ctx.TAL, ctx.dt)
     if cfg.gradient_mode == "reference":
         grad = grad + cfg.grad_eps  # :428-432
     return cost, grad
@@ -208,10 +278,18 @@ def cost_only(dp, ctx: PenaltyCtx, field: Field, grid_shape,
     cost_s, _ = _smooth(dp, ctx)
     if abs(wc) < 1e-4:
         return ws * cost_s + cfg.cost_eps
-    _, pos, vel = _sample_state(dp, ctx)
+    coeff, pos, vel = _sample_state(dp, ctx)
     _, _, cd, _, vn = _collision_terms(pos, vel, field, grid_shape, cfg)
     cost_c = _einsum("mk,m->", cd * vn, ctx.dt)
-    return ws * cost_s + wc * cost_c + cfg.cost_eps
+    cost = ws * cost_s + wc * cost_c + cfg.cost_eps
+    if step == 2 and (cfg.alpha_v != 0.0 or cfg.alpha_a != 0.0):
+        acc = (
+            _einsum("mkj,mxj->mkx", ctx.TAmat, coeff)
+            if cfg.alpha_a != 0.0 else None
+        )
+        cost_v, cost_a, _, _ = _va_weights(vel, acc, vn, cfg)
+        cost = cost + _einsum("mk,m->", cost_v + cost_a, ctx.dt)
+    return cost
 
 
 def bounds(waypoints, num_dp: int, cfg: OptimizerConfig, dtype=jnp.float32):
@@ -356,6 +434,20 @@ def cost_and_grad_batch(dp, bctx: PenaltyCtx, grids, origin, resolution,
 
     cost = ws * cost_s + wc * cost_c + cfg.cost_eps
     grad = ws * grad_s + wc * grad_c
+    if step == 2 and (cfg.alpha_v != 0.0 or cfg.alpha_a != 0.0):
+        acc = (
+            _einsum("nmkj,nmxj->nmkx", bctx.TAmat, coeff)
+            if cfg.alpha_a != 0.0 else None
+        )
+        cost_v, cost_a, w_tvl, w_tal = _va_weights(vel, acc, vn, cfg)
+        cost = cost + _einsum("nmk,nm->n", cost_v + cost_a, bctx.dt)
+        grad = grad + _einsum(
+            "nmkx,nmkd,nm->nxd", w_tvl, bctx.TVL, bctx.dt
+        )
+        if cfg.alpha_a != 0.0:
+            grad = grad + _einsum(
+                "nmkx,nmkd,nm->nxd", w_tal, bctx.TAL, bctx.dt
+            )
     if cfg.gradient_mode == "reference":
         grad = grad + cfg.grad_eps
     return cost, grad

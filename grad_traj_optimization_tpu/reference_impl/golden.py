@@ -271,13 +271,13 @@ class GoldenOptimizer:
             waypoints, self.cfg.mean_v, self.cfg.init_time
         )
         self.deps = GoldenDeps(self.times)
+        # closed-form smoothness optimum dp* = -Rpp^-1 Rfp^T df
+        # (core/qp.min_snap_dp; clipped to bounds in optimize())
+        self.Dp0_min_snap = np.linalg.solve(
+            self.deps.Rpp, -(self.Df @ self.deps.Rfp).T
+        ).T
         if getattr(self.cfg, "seed_mode", "reference") == "min_snap":
-            # closed-form smoothness optimum dp* = -Rpp^-1 Rfp^T df
-            # (core/qp.min_snap_dp; clipped to bounds in optimize())
-            self.Dp0 = np.linalg.solve(
-                self.deps.Rpp[None].repeat(3, axis=0),
-                -(self.Df @ self.deps.Rfp)[..., None],
-            )[..., 0]
+            self.Dp0 = self.Dp0_min_snap
         self.V = np.zeros((6, 6))
         for i in range(5):
             self.V[i, i + 1] = i + 1
@@ -307,7 +307,14 @@ class GoldenOptimizer:
 
         coe = self.coeff_from_d(dp)
         cost_colli = 0.0
+        cost_vel = 0.0
+        cost_acc = 0.0
         g_colli = np.zeros((3, num_dp))
+        g_vel = np.zeros((3, num_dp))
+        g_acc = np.zeros((3, num_dp))
+        alpha_v = getattr(cfg, "alpha_v", 0.0)
+        alpha_a = getattr(cfg, "alpha_a", 0.0)
+        use_va = step == 2 and (alpha_v != 0.0 or alpha_a != 0.0)
         if abs(cfg.w_collision) >= 1e-4:
             for s in range(deps.m):
                 Ldp = deps.L[6 * s : 6 * s + 6, 6:]
@@ -332,12 +339,53 @@ class GoldenOptimizer:
                             gd * grad[k] * cd * vel_norm * TL
                             + cd * (vel[k] / vel_norm) * TVL
                         ) * dt
+                    if use_va:
+                        # the commented usage block (grad_traj_optimizer.
+                        # cpp:382-407), replicated loop-for-loop: cv/ca
+                        # keep the LAST axis's value into the gradient
+                        # loop, and the penalty "gradients" carry no
+                        # sign(v)/sign(a) factor (:517-535)
+                        tvvv = tvv @ self.V  # acceleration basis
+                        acc = coe[s] @ tvvv
+                        TAL = tvvv @ Ldp
+                        cv = ca = 0.0
+                        for k in range(3):
+                            cv = alpha_v * np.exp(
+                                (abs(vel[k]) - cfg.v0) / cfg.r_v
+                            )
+                            cost_vel += cv * vel_norm * dt
+                            ca = alpha_a * np.exp(
+                                (abs(acc[k]) - cfg.a0) / cfg.r_a
+                            )
+                            cost_acc += ca * vel_norm * dt
+                        for k in range(3):
+                            gv = (alpha_v / cfg.r_v) * np.exp(
+                                (abs(vel[k]) - cfg.v0) / cfg.r_v
+                            )
+                            g_vel[k] += (
+                                gv * vel_norm * TVL
+                                + cv * (vel[k] / vel_norm) * TVL
+                            ) * dt
+                            ga = (alpha_a / cfg.r_a) * np.exp(
+                                (abs(acc[k]) - cfg.a0) / cfg.r_a
+                            )
+                            g_acc[k] += (
+                                ga * vel_norm * TAL
+                                + ca * (vel[k] / vel_norm) * TVL
+                            ) * dt
                     t += dt
 
         ws = 0.0 if step == 1 else cfg.w_smooth
         wc = cfg.w_collision
-        cost = ws * cost_smooth + wc * cost_colli + cfg.cost_eps
-        grad = ws * g_smooth + wc * g_colli + cfg.grad_eps
+        wv = wa = 1.0  # fixed in the reference (:412)
+        cost = (
+            ws * cost_smooth + wc * cost_colli
+            + wv * cost_vel + wa * cost_acc + cfg.cost_eps
+        )
+        grad = (
+            ws * g_smooth + wc * g_colli
+            + wv * g_vel + wa * g_acc + cfg.grad_eps
+        )
         return cost, grad
 
     def bounds(self):
@@ -359,15 +407,34 @@ class GoldenOptimizer:
 
     def optimize(self, steps=(2,)):
         """Deterministic float64 run of the same projected descent the TPU
-        path uses (opt/descent.py), for end-to-end parity checks."""
+        path uses (opt/descent.py), for end-to-end parity checks.
+
+        seed_mode='dual' races both seeds exactly as solver._combine_dual:
+        the reference-seed arm at the full step-2 budget and the min-snap
+        arm at ``dual_ms_iters`` (0 = full), keeping the lower-cost arm.
+        """
         cfg = self.cfg
-        dp = self.Dp0.copy()
+        if getattr(cfg, "seed_mode", "reference") == "dual":
+            dp_a = self._descend(self.Dp0, steps, cfg.iters_step2)
+            ms_iters = getattr(cfg, "dual_ms_iters", 0) or cfg.iters_step2
+            dp_b = self._descend(self.Dp0_min_snap, steps, ms_iters)
+            final = max(steps)
+            dp = dp_a if (
+                self.cost_only(dp_a, final) <= self.cost_only(dp_b, final)
+            ) else dp_b
+        else:
+            dp = self._descend(self.Dp0, steps, cfg.iters_step2)
+        return dp, self.coeff_from_d(dp)
+
+    def _descend(self, dp0, steps, iters_step2):
+        cfg = self.cfg
+        dp = dp0.copy()
         lb, ub = self.bounds()
         dp = np.clip(dp, lb, ub)
         use_bb = getattr(cfg, "step_rule", "adaptive") == "bb"
         W = getattr(cfg, "accept_window", 1)
         for step in steps:
-            iters = cfg.iters_step1 if step == 1 else cfg.iters_step2
+            iters = cfg.iters_step1 if step == 1 else iters_step2
             # fused scheme (must mirror opt/descent.py): one cost+grad per
             # iteration, gradient cached across rejections; step rule is
             # either multiplicative-adaptive or Barzilai-Borwein;
@@ -412,7 +479,7 @@ class GoldenOptimizer:
                     ptr = (ptr + 1) % W
                     dp, g = cand, g2
             dp = best_dp
-        return dp, self.coeff_from_d(dp)
+        return dp
 
     def cost_only(self, dp, step=2):
         c, _ = self.cost_and_grad(dp, step)

@@ -454,10 +454,20 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     avel = jnp.pad(avel, ((0, 0), (0, pad), (0, 0)))
     # [TL^T | TVL^T] stacked on the contraction axis: the kernel's
     # gradient chain runs as ONE merged (P, 2*SP) @ (2*SP, 3) dot
-    tltv = jnp.concatenate(
-        [jnp.swapaxes(apos[:, :, 6:], 1, 2),
-         jnp.swapaxes(avel[:, :, 6:], 1, 2)], axis=2,
-    )  # (B, P, 2*SP)
+    tltv_blocks = [
+        jnp.swapaxes(apos[:, :, 6:], 1, 2),
+        jnp.swapaxes(avel[:, :, 6:], 1, 2),
+    ]
+    aacc = None
+    if cfg.alpha_a != 0.0:
+        # acceleration sampling + TAL gradient chain (vel/acc penalty)
+        aacc_f = ein("bmkj,bmja->bmka", bctx.TAmat, Lf_seg)
+        aacc = jnp.concatenate(
+            [aacc_f, bctx.TAL], axis=-1
+        ).reshape(B, S, ndim)
+        aacc = jnp.pad(aacc, ((0, 0), (0, pad), (0, 0)))
+        tltv_blocks.append(jnp.swapaxes(aacc[:, :, 6:], 1, 2))
+    tltv = jnp.concatenate(tltv_blocks, axis=2)  # (B, P, 2*SP or 3*SP)
     dts = jnp.broadcast_to(
         bctx.dt[:, :, None], (B, m, K)
     ).reshape(B, S, 1)
@@ -491,7 +501,7 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
 
     kargs = (
         gp, grids.shape[1:], apos, avel, tltv, dep.Rpp, cgt,
-        lbT, ubT, dp0T, dts, dfT, misc,
+        lbT, ubT, dp0T, dts, dfT, misc, aacc,
     )
     return kargs, (Df, dp0, T)
 

@@ -87,6 +87,10 @@ inline int64_t flat(int x, int y, int z, int ny, int nz) {
 
 extern "C" {
 
+// cfg-array ABI version of gtop_solve (bump when cfg fields are added
+// so stale .so files fail loudly instead of ignoring new fields)
+int gtop_abi_version() { return 2; }
+
 // Exact unsigned EDT of an occupancy grid (x-major layout, matching the
 // reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
 void gtop_edt(const float* occ, int nx, int ny, int nz, float resolution,
@@ -316,6 +320,9 @@ struct SolveCfg {
   int accept_window;  // nonmonotone acceptance window (1 = monotone)
   int seed_mode;      // 0 = reference, 1 = min_snap, 2 = dual
   int dual_ms_iters;  // step-2 budget of the min-snap arm (0 = iters2)
+  // velocity/acceleration penalties (grad_traj_optimizer.cpp:517-535;
+  // usage :382-407, weights wv = wa = 1 fixed at :412); 0 disables
+  double alpha_v, v0, r_v, alpha_a, a0, r_a;
 };
 
 // Gaussian elimination with partial pivoting: solve A x = b in place
@@ -406,7 +413,16 @@ double cost_and_grad(const Deps& dp_deps, const MapRef& mp,
       }
 
   double cost_colli = 0.0;
+  double cost_vel = 0.0, cost_acc = 0.0;
   std::vector<double> g_colli(3 * ndp, 0.0);
+  std::vector<double> g_va(3 * ndp, 0.0);
+  // velocity/acceleration penalties: the reference's commented usage
+  // block (grad_traj_optimizer.cpp:382-407) replicated loop-for-loop,
+  // including its quirks: no sign(v)/sign(a) in the penalty gradients
+  // (:517-535) and cv/ca carrying the LAST axis's value into the
+  // gradient loop.  Step 2 only (:385); wv = wa = 1 (:412).
+  const bool use_va =
+      step == 2 && (cfg.alpha_v != 0.0 || cfg.alpha_a != 0.0);
   if (std::fabs(wc) >= 1e-4) {
     for (int s = 0; s < m; ++s) {
       double Ts = dp_deps.T[s];
@@ -418,17 +434,20 @@ double cost_and_grad(const Deps& dp_deps, const MapRef& mp,
         tv[0] = 1;
         for (int j = 1; j < 6; ++j) tv[j] = tv[j - 1] * t;
         double vrow[6] = {0, 1, 2 * tv[1], 3 * tv[2], 4 * tv[3], 5 * tv[4]};
+        double arow[6] = {0, 0, 2, 6 * tv[1], 12 * tv[2], 20 * tv[3]};
 
-        double pos[3], vel[3];
+        double pos[3], vel[3], acc3[3];
         for (int ax = 0; ax < 3; ++ax) {
           const double* c = &coe[(size_t(s) * 3 + ax) * 6];
-          double pv = 0, vv = 0;
+          double pv = 0, vv = 0, av = 0;
           for (int j = 0; j < 6; ++j) {
             pv += c[j] * tv[j];
             vv += c[j] * vrow[j];
+            av += c[j] * arow[j];
           }
           pos[ax] = pv;
           vel[ax] = vv;
+          acc3[ax] = av;
         }
         double vel_norm = std::sqrt(vel[0] * vel[0] + vel[1] * vel[1] +
                                     vel[2] * vel[2]) +
@@ -438,19 +457,45 @@ double cost_and_grad(const Deps& dp_deps, const MapRef& mp,
         double cd = cfg.alpha * std::exp(-(dist - cfg.d0) / cfg.r);
         double gd = -cd / cfg.r;
         cost_colli += cd * vel_norm * dt;
+
+        double cv = 0.0, ca = 0.0;
+        if (use_va) {
+          for (int ax = 0; ax < 3; ++ax) {
+            cv = cfg.alpha_v *
+                 std::exp((std::fabs(vel[ax]) - cfg.v0) / cfg.r_v);
+            cost_vel += cv * vel_norm * dt;
+            ca = cfg.alpha_a *
+                 std::exp((std::fabs(acc3[ax]) - cfg.a0) / cfg.r_a);
+            cost_acc += ca * vel_norm * dt;
+          }
+        }
         if (grad) {
           // TL = tv * Ldp, TVL = vrow * Ldp rows (Ldp = L[6s.., 6:])
           for (int p = 0; p < ndp; ++p) {
-            double TL = 0, TVL = 0;
+            double TL = 0, TVL = 0, TAL = 0;
             for (int j = 0; j < 6; ++j) {
               TL += tv[j] * dp_deps.L(6 * s + j, 6 + p);
               TVL += vrow[j] * dp_deps.L(6 * s + j, 6 + p);
+              TAL += arow[j] * dp_deps.L(6 * s + j, 6 + p);
             }
             for (int ax = 0; ax < 3; ++ax) {
               g_colli[ax * ndp + p] +=
                   (gd * gradd[ax] * cd * vel_norm * TL +
                    cd * (vel[ax] / vel_norm) * TVL) *
                   dt;
+              if (use_va) {
+                double gv = (cfg.alpha_v / cfg.r_v) *
+                            std::exp((std::fabs(vel[ax]) - cfg.v0) /
+                                     cfg.r_v);
+                double ga = (cfg.alpha_a / cfg.r_a) *
+                            std::exp((std::fabs(acc3[ax]) - cfg.a0) /
+                                     cfg.r_a);
+                g_va[ax * ndp + p] +=
+                    (gv * vel_norm * TVL +
+                     cv * (vel[ax] / vel_norm) * TVL + ga * vel_norm * TAL +
+                     ca * (vel[ax] / vel_norm) * TVL) *
+                    dt;
+              }
             }
           }
         }
@@ -458,10 +503,12 @@ double cost_and_grad(const Deps& dp_deps, const MapRef& mp,
     }
   }
 
-  double cost = ws * cost_smooth + wc * cost_colli + cfg.cost_eps;
+  double cost = ws * cost_smooth + wc * cost_colli + cost_vel + cost_acc +
+                cfg.cost_eps;
   if (grad) {
     for (int i = 0; i < 3 * ndp; ++i)
-      grad[i] = ws * g_smooth[i] + wc * g_colli[i] + cfg.grad_eps;
+      grad[i] = ws * g_smooth[i] + wc * g_colli[i] + g_va[i] +
+                cfg.grad_eps;
   }
   return cost;
 }
@@ -488,6 +535,8 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
   cfg.accept_window = std::max(1, int(c[24]));
   cfg.seed_mode = int(c[25]);
   cfg.dual_ms_iters = int(c[26]);
+  cfg.alpha_v = c[27]; cfg.v0 = c[28]; cfg.r_v = c[29];
+  cfg.alpha_a = c[30]; cfg.a0 = c[31]; cfg.r_a = c[32];
 
   MapRef mp{dist, nx, ny, nz, {origin[0], origin[1], origin[2]},
             resolution};

@@ -85,6 +85,62 @@ def test_native_solve_matches_jax_solve():
     assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3
 
 
+def test_native_solve_va_penalties_match_jax():
+    """Velocity/acceleration penalties on: the C++ f64 home must produce
+    the same trajectory as the JAX path (lockstep rule, all four homes)."""
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25, map_size=(10.0, 10.0, 4.0)
+    )
+    pts = []
+    for x in np.arange(-2.0, 2.0, map_cfg.resolution):
+        for z in np.arange(0.1, 4.0, map_cfg.resolution):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    obss = np.array(pts)
+    wp = np.array(
+        [
+            [0.0, -3.0, 2.0],
+            [0.3, -1.5, 2.0],
+            [0.0, 0.0, 2.0],
+            [-0.3, 1.5, 2.0],
+            [0.0, 3.0, 2.0],
+        ]
+    )
+    # click-launch scales (v0=2.5, a0=3.5): binding but gentle enough
+    # that the f32 and f64 descents stay in one basin; tighter v0/a0
+    # make the exponential landscape chaotic across precisions
+    cfg = OptimizerConfig(
+        iters_step2=25, alpha_v=0.1, v0=2.5, alpha_a=0.1, a0=3.5
+    )
+
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+    coeff_n, times_n, cost_n = native.solve(
+        np.asarray(scn.dist), map_cfg.origin, map_cfg.resolution, wp, cfg,
+        steps=(2,),
+    )
+    ts = np.linspace(1e-3, times_n.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(times_n)
+    pos_n = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(int(np.searchsorted(edges, t, side="right")), len(times_n) - 1)
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_n[i] = coeff_n[s] @ basis
+    dev = np.abs(pos_j - pos_n).max()
+    assert dev < 1e-3, f"native/JAX positional deviation {dev}"
+    assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3
+    # the penalties bind: alphas-off native run lands at a different cost
+    _, _, cost_off = native.solve(
+        np.asarray(scn.dist), map_cfg.origin, map_cfg.resolution, wp,
+        OptimizerConfig(iters_step2=25), steps=(2,),
+    )
+    assert abs(cost_off - cost_n) / max(abs(cost_n), 1.0) > 1e-4
+
+
 def test_native_solve_m1_no_free_vars():
     map_cfg = MapConfig(
         origin=(-5.0, -5.0, 0.0), resolution=0.5, map_size=(10.0, 10.0, 4.0)

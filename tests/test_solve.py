@@ -356,6 +356,105 @@ def test_solve_batch_kernel_exact_gradient_mode():
     assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
 
 
+def test_solve_batch_kernel_va_penalties():
+    """The kernel's velocity/acceleration-penalty branch (aacc chain +
+    three-block merged gradient dot) matches the vmap path with the same
+    alpha_v/alpha_a scales — and the penalties actually bind (costs
+    differ from the alphas-off run)."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=3, iters_step2=10, alpha_v=0.1, v0=1.0,
+        alpha_a=0.1, a0=1.5,
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    wps = np.stack([wp, wp + np.array([0.15, 0.0, 0.1])], axis=0)
+    batch = solve_mod.Scenario(
+        dist=jnp.stack([scn.dist, scn.dist]),
+        origin=jnp.broadcast_to(scn.origin, (2, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (2,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    s_ref = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=(1, 2), record_trace=True
+    )
+    s_k = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(1, 2), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_k.n_accept), np.asarray(s_ref.n_accept)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.cost_trace), np.asarray(s_ref.cost_trace),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.cost), np.asarray(s_ref.cost), rtol=5e-3
+    )
+    for b in range(2):
+        p1, _ = poly.sample_uniform(s_ref.coeff[b], s_ref.T[b], 100)
+        p2, _ = poly.sample_uniform(s_k.coeff[b], s_k.T[b], 100)
+        assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+    # velocity-only variant exercises the 2-block w_tvl fold
+    cfg_v = OptimizerConfig(iters_step1=3, iters_step2=10, alpha_v=0.1,
+                            v0=1.0)
+    s_ref_v = solve_mod.solve_batch(
+        batch, cfg=cfg_v, steps=(1, 2), record_trace=False
+    )
+    s_k_v = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg_v, steps=(1, 2), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_k_v.n_accept), np.asarray(s_ref_v.n_accept)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k_v.cost), np.asarray(s_ref_v.cost), rtol=5e-3
+    )
+    # the penalties bind: alphas-off kernel run lands at different costs
+    cfg_off = OptimizerConfig(iters_step1=3, iters_step2=10)
+    s_off = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg_off, steps=(1, 2), interpret=True
+    )
+    assert not np.allclose(
+        np.asarray(s_off.cost), np.asarray(s_k.cost), rtol=1e-4
+    )
+
+
+def test_va_solve_matches_float64_oracle():
+    """End-to-end solve with alpha_v/alpha_a on vs the golden f64 oracle
+    running the same descent — the VERDICT item-3 acceptance gate."""
+    from grad_traj_optimization_tpu.reference_impl import golden
+
+    map_cfg, obss, wp = _small_scene()
+    # click-launch scales: see test_native_solve_va_penalties_match_jax
+    cfg = OptimizerConfig(
+        iters_step2=40, alpha_v=0.1, v0=2.5, alpha_a=0.1, a0=3.5
+    )
+    gm = golden.GoldenSDFMap(
+        map_cfg.origin, map_cfg.resolution, map_cfg.map_size
+    )
+    for p in obss:
+        gm.set_occupancy(p)
+    gm.update_esdf()
+    gopt = golden.GoldenOptimizer(gm, cfg)
+    gopt.setup(wp)
+    dp_g, coeff_g = gopt.optimize(steps=(2,))
+
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,))
+    assert int(sol.status) == solve_mod.STATUS_OK
+    T = np.asarray(sol.T, np.float64)
+    ts = np.linspace(0.0, T.sum(), 120)
+    p_j = np.asarray(poly.evaluate(sol.coeff, sol.T, jnp.asarray(
+        ts, jnp.float32)))
+    # golden trajectory sampled with the same basis
+    p_g = np.asarray(poly.evaluate(
+        jnp.asarray(coeff_g, jnp.float32),
+        jnp.asarray(gopt.times, jnp.float32),
+        jnp.asarray(ts, jnp.float32),
+    ))
+    assert float(np.max(np.abs(p_j - p_g))) < 1e-3
+
+
 def test_min_snap_seed_is_smoothness_optimal():
     """qp.min_snap_dp satisfies the QP optimality condition
     Rpp dp* + Rfp^T df = 0 (qp_generator.cpp:242-315)."""

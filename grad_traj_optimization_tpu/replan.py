@@ -15,9 +15,11 @@ Rebuild of the reference's dynamic-planning flow (src/compare22.cpp:90-247
 4. the vehicle flies the refined trajectory for ``replan_dt`` seconds and
    the loop repeats from the reached state.
 
-The static field is built once; dynamic obstacles enter through the
-penalty oracle per tick.  Each tick is one jitted program; ticks are a
-host loop (the real-time outer loop is inherently sequential).
+The static field can change mid-flight through ``map_update`` (walls
+appearing re-route the next tick — the rebuild's replacement for the
+reference RRT* tree-repair machinery); dynamic obstacles enter through
+the penalty oracle per tick.  Each tick is one jitted program; ticks
+are a host loop (the real-time outer loop is inherently sequential).
 """
 
 from __future__ import annotations
@@ -153,6 +155,7 @@ def replan_loop(
     obstacle_times=None,
     obstacle_scales=None,
     obstacle_update: Callable | None = None,
+    map_update: Callable | None = None,
     rcfg: ReplanConfig = ReplanConfig(),
     ocfg: OptimizerConfig = OptimizerConfig(),
 ):
@@ -163,6 +166,17 @@ def replan_loop(
       goal: (6,) = [position, velocity] (end velocity usually zero).
       obstacle_update: optional ``f(t) -> (histories, times, scales)``
         refreshing pose histories each tick (simulating the ROS feeds).
+      map_update: optional ``f(t, dist_grid) -> dist_grid | None``
+        applying STATIC map changes each tick (the rebuild's answer to
+        the reference's incremental rcvAddMap/rcvDelMap + tree repair,
+        path_finder.cpp:121-127, 1065-1554: instead of repairing a
+        search tree, the whole tick re-solves against the new field at
+        TPU rates).  Return a same-shape grid (one jit serves every
+        tick) or None for "no change".  For appearing obstacles the
+        cheap incremental form is
+        ``sdf.edt(new_occ, res, prev_dist=old_dist)`` (the reference's
+        own min-with-old-buffer update, sdf_map.cpp:358-360); removals
+        need a full rebuild of the affected field.
     Returns:
       list of TickResult.
     """
@@ -180,6 +194,17 @@ def replan_loop(
     results: list[TickResult] = []
 
     for tick in range(rcfg.max_ticks):
+        # 0. static map changes (walls appearing/vanishing mid-flight)
+        if map_update is not None:
+            new_grid = map_update(t_now, dist_grid)
+            if new_grid is not None:
+                if new_grid.shape != dist_grid.shape:
+                    raise ValueError(
+                        "map_update must keep the grid shape "
+                        f"({new_grid.shape} != {dist_grid.shape})"
+                    )
+                dist_grid = new_grid
+
         # 1. refresh predictions
         pred = None
         if obstacle_update is not None:
@@ -217,6 +242,35 @@ def replan_loop(
             beam=rcfg.kino_beam,
         )
         search_ok = bool(kres.reached)
+
+        if not search_ok:
+            # NO_PATH this tick (reference kinodynamic_astar.cpp:278-313
+            # status semantics): flying an unvalidated plan can cross
+            # obstacles, so hold position (quadrotors hover) and retry
+            # next tick — e.g. after a map change invalidated the route.
+            state = np.concatenate([state[:3], np.zeros(3)])
+            t_now += rcfg.replan_dt
+            hold = jnp.zeros((1, 3, 6), jnp.float32).at[0, :, 0].set(
+                jnp.asarray(state[:3], jnp.float32)
+            )
+            dmin = float(
+                sdf.distance_at(
+                    dist_grid, origin,
+                    jnp.asarray(resolution, jnp.float32),
+                    jnp.asarray(state[None, :3], jnp.float32),
+                )[0]
+            )
+            results.append(
+                TickResult(
+                    state=state.copy(),
+                    coeff=np.asarray(hold),
+                    times=np.array([rcfg.replan_dt]),
+                    reached_goal=False,
+                    search_ok=False,
+                    min_clearance=dmin,
+                )
+            )
+            continue
 
         # 3. refine
         pos, vel, acc, times = _resample_knots(kres, rcfg.n_waypoints)

@@ -49,6 +49,7 @@ class GridPlan(NamedTuple):
     length: jnp.ndarray    # () number of valid path points
     reached: jnp.ndarray   # () bool: start connected to goal
     cost_to_go: jnp.ndarray  # (nx, ny, nz) converged Dijkstra field
+    converged: jnp.ndarray = True  # () bool: value iteration hit fixpoint
 
 
 def _shift(g, off, fill):
@@ -64,13 +65,23 @@ def _shift(g, off, fill):
     return gp[tuple(slices)]
 
 
-def cost_to_go(blocked, goal_idx, max_sweeps: int = 1024):
+def cost_to_go(blocked, goal_idx, max_sweeps: int | None = None):
     """Dijkstra cost-to-go field (in cell units) by value iteration.
+
+    The while_loop exits at the fixpoint, so ``max_sweeps`` is only a
+    runaway bound; its default is the cell count — the true worst case
+    for a shortest path (a maze path can visit nearly every cell), where
+    the old fixed 1024 silently truncated long serpentine corridors.
+    Returns (field, converged); an unconverged field underestimates
+    nothing but may leave reachable cells at the sentinel value.
 
     Args:
       blocked: (nx, ny, nz) bool.
       goal_idx: (3,) int goal cell.
     """
+    if max_sweeps is None:
+        nx, ny, nz = blocked.shape
+        max_sweeps = nx * ny * nz + 8
     big = jnp.float32(1e18)
     g0 = jnp.full(blocked.shape, big, jnp.float32)
     g0 = g0.at[goal_idx[0], goal_idx[1], goal_idx[2]].set(0.0)
@@ -98,10 +109,10 @@ def cost_to_go(blocked, goal_idx, max_sweeps: int = 1024):
         changed = jnp.any(g2 < g - 1e-6)
         return g2, changed, it + 8
 
-    g, _, _ = jax.lax.while_loop(
+    g, changed, _ = jax.lax.while_loop(
         cond, body, (g0, jnp.asarray(True), jnp.asarray(0))
     )
-    return g
+    return g, jnp.logical_not(changed)
 
 
 def extract_path(g, start_idx, origin, resolution, max_len: int = 512):
@@ -177,7 +188,8 @@ def plan(
     blocked = blocked.at[si[0], si[1], si[2]].set(False)
     blocked = blocked.at[gi[0], gi[1], gi[2]].set(False)
 
-    g = cost_to_go(blocked, gi)
+    g, converged = cost_to_go(blocked, gi)
     path, length = extract_path(g, si, origin, res, max_len)
     reached = g[si[0], si[1], si[2]] < 1e17
-    return GridPlan(path=path, length=length, reached=reached, cost_to_go=g)
+    return GridPlan(path=path, length=length, reached=reached,
+                    cost_to_go=g, converged=converged)

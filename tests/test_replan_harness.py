@@ -68,6 +68,80 @@ def test_replan_with_moving_obstacle():
     ).all()
 
 
+def test_replan_wall_appears_mid_flight():
+    """Elastic replanning under static-map changes (the reference's
+    rcvAddMap + treeRepair capability, path_finder.cpp:121-127,
+    1065-1554): the vehicle starts on a straight shot to the goal; a
+    wall with an off-center gap appears across its path mid-flight, and
+    the loop must reroute through the gap."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    shape = (40, 40, 16)
+    free = jnp.full(shape, sdf.FREE_DIST, jnp.float32)
+
+    # the appearing wall: y = 0 plane, gap only at x in [0.8, 2.4]
+    pts = [
+        (x, 0.0, z)
+        for x in np.arange(-5.0, 5.0, res)
+        for z in np.arange(0.1, 4.0, res)
+        if not (0.8 < x < 2.4)
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, shape,
+    )
+    # incremental add: min-merge the new obstacles into the old field
+    # (the reference's own min-with-old-buffer, sdf_map.cpp:358-360)
+    dist_after = sdf.edt(occ, res, prev_dist=free)
+
+    # appears after one tick, while the vehicle (still slow, ~2.6 m from
+    # the wall) can dynamically reach the gap
+    t_appear = 0.4
+    seen = []
+
+    def map_update(t, grid):
+        seen.append(t)
+        return dist_after if t >= t_appear else None
+
+    rcfg = replan.ReplanConfig(
+        replan_dt=0.5, max_ticks=30, kino_iters=20, kino_beam=64,
+        margin=0.2,
+    )
+    ocfg = OptimizerConfig(iters_step1=4, iters_step2=12)
+    results = replan.replan_loop(
+        free, origin, res,
+        start_state=np.array([0, -3, 2, 0, 0, 0], np.float64),
+        goal=np.array([0, 3, 2, 0, 0, 0], np.float64),
+        map_update=map_update, rcfg=rcfg, ocfg=ocfg,
+    )
+    assert len(seen) == len(results) or len(seen) == len(results) + 1
+    assert results[-1].reached_goal
+    # planned trajectories never leave the map or dive into obstacles
+    # (-1 = out-of-map sentinel; the unflown plan tail may touch a wall
+    # cell before the next tick replans it away)
+    assert all(r.min_clearance >= 0.0 for r in results)
+    # every FLOWN state keeps real clearance against the final map
+    states = np.stack([r.state for r in results])
+    d_states = np.asarray(sdf.distance_at(
+        dist_after, jnp.asarray(origin, jnp.float32), res,
+        jnp.asarray(states[:, :3], jnp.float32),
+    ))
+    assert (d_states > 0.2).all(), d_states
+    # the flown states crossed y=0 through the gap, not the wall
+    crossed = False
+    prev_y = -3.0
+    prev_x = 0.0
+    for x, y in zip(states[:, 0], states[:, 1]):
+        if prev_y < 0.0 <= y:
+            # interpolate the crossing x
+            f = (0.0 - prev_y) / max(y - prev_y, 1e-9)
+            x_cross = prev_x + f * (x - prev_x)
+            assert 0.6 < x_cross < 2.6, f"crossed wall at x={x_cross}"
+            crossed = True
+        prev_x, prev_y = x, y
+    assert crossed
+
+
 def test_harness_suite_and_summary(tmp_path):
     dist, origin, res = _wall_map()
     cases = [

@@ -64,6 +64,38 @@ def test_grid_plan_unreachable():
     assert not bool(plan.reached)
 
 
+def test_grid_plan_long_serpentine_corridor():
+    """A maze whose shortest path is ~2000 cells: the old fixed
+    1024-sweep cap silently returned an unconverged field and a false
+    reached=False here (the path needs ~1950 relaxations); the
+    cell-count bound + converged flag fix it."""
+    n = 64
+    res = 0.25
+    origin = np.array([0.0, 0.0, 0.0])
+    dist = np.full((n, n, 1), 10.0, np.float32)
+    # serpentine: walls across x, alternating gap at x=0 / x=n-1
+    for row, y in enumerate(range(2, n - 2, 2)):
+        dist[:, y, 0] = 0.0
+        if row % 2 == 0:
+            dist[n - 2 :, y, 0] = 10.0
+        else:
+            dist[:2, y, 0] = 10.0
+    start = origin + (np.array([1, 1, 0]) + 0.5) * res
+    goal = origin + (np.array([1, n - 2, 0]) + 0.5) * res
+    plan = grid_search.plan(
+        jnp.asarray(dist), origin, res, start, goal, clearance=0.1,
+        max_len=4096,
+    )
+    assert bool(plan.converged)
+    assert bool(plan.reached)
+    npath = int(plan.length)
+    assert npath > 600  # the path really snakes
+    # path stays on corridor cells
+    path = np.asarray(plan.path)[:npath]
+    idx = np.floor((path - origin) / res).astype(int)
+    assert (dist[idx[:, 0], idx[:, 1], idx[:, 2]] > 0.1).all()
+
+
 def test_rdp_matches_shape():
     # a dense L-shaped path simplifies to ~3 points
     a = np.stack([np.linspace(0, 1, 50), np.zeros(50), np.zeros(50)], -1)

@@ -130,11 +130,20 @@ def _clearance_dynamic(dist_grid, origin, resolution, samples, ts, pred):
 
 
 def _resample_knots(result: kinodynamic.KinoResult, n: int):
-    """Downsample the search branch to n knots (keeping ends)."""
+    """Downsample the search branch to n knots (keeping ends).
+
+    Zero-duration segments are the beam's masked post-termination tail
+    (see kinodynamic.search early-termination tracking) — dropped here
+    along with their duplicate knots.
+    """
     pos = np.asarray(result.pos, np.float64)
     vel = np.asarray(result.vel, np.float64)
     acc = np.asarray(result.acc, np.float64)
     times = np.asarray(result.times, np.float64)
+    seg_keep = times > 1e-6
+    knot_keep = np.concatenate([[True], seg_keep])
+    pos, vel, acc = pos[knot_keep], vel[knot_keep], acc[knot_keep]
+    times = times[seg_keep]
     k = len(pos)
     if k <= n:
         return pos, vel, acc, np.maximum(times, 1e-2)

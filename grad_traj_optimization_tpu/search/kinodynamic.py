@@ -284,7 +284,18 @@ def search(
 
     Returns up to ``max_knots`` knot states along the best found branch
     (parents tracked per iteration), with the final knot the goal if the
-    one-shot connection succeeded.
+    one-shot connection succeeded.  Termination is tracked every
+    iteration (the reference stops as soon as the one-shot connects);
+    primitives after the winning iteration come back with ZERO duration
+    — consumers drop zero-time segments (replan._resample_knots does).
+
+    Collision-sweep caveat (faithful to the reference): primitives are
+    sampled ``check_num`` times (reference search/check_num = 5,
+    compare22.launch:18; loop kinodynamic_astar.cpp:199-213), so with
+    ``margin`` smaller than the map resolution a one-voxel-thin wall
+    can slip between samples — in the reference exactly as here.
+    Raise ``check_num`` (or keep margin >= resolution) when maps carry
+    paper-thin obstacles.
     """
     dtype = jnp.float32
     prim = jnp.asarray(_primitive_set(max_acc, n_acc))  # (P, 3)
@@ -307,8 +318,25 @@ def search(
     hist_u0 = jnp.zeros((max_iters, beam, 3), dtype)
     hist_tau0 = jnp.zeros((max_iters, beam), dtype)
 
+    def shot_total(states_b, g_b):
+        """Best-case total (g + shot-feasible h) per beam slot.
+
+        The reference's 10-sample shot sweep (computeShotTraj) is safe
+        only for the short near-goal shots it fires; termination here
+        may shoot from anywhere, so the sweep is densified (32 samples:
+        <= ~0.3 m spacing at horizon-scale shots — matches the primitive
+        sweep's density) or thin walls slip between samples.
+        """
+        h_b, t_sh = estimate_heuristic(states_b, goal_state, w_time,
+                                       max_vel)
+        feas_b = shot_feasible(
+            states_b, goal_state, jnp.maximum(t_sh, 1e-2), dist_grid,
+            origin, res, margin, n_check=32,
+        )
+        return g_b + jnp.where(feas_b, h_b, 0.5 * big), t_sh
+
     def body(it, carry):
-        states, g, tcur, hp, hu, ht = carry
+        states, g, tcur, hp, hu, ht, best = carry
         # expand: (beam, P, n_dur, 6)
         cand = state_transit(
             states[:, None, None, :],
@@ -392,31 +420,52 @@ def search(
         hu = hu.at[it].set(u_sel)
         ht = ht.at[it].set(tau_sel)
         new_t = tcur[parent] + tau_sel
-        return new_states, new_g, new_t, hp, hu, ht
 
-    states, g, tcur, hp, hu, ht = jax.lax.fori_loop(
+        # early-termination tracking (the reference stops as soon as the
+        # one-shot connects, kinodynamic_astar.cpp:86-117; a fixed-trip
+        # fori_loop can't break, so track the best shot-feasible leaf
+        # over ALL iterations and mask the junk tail at backtrack time —
+        # otherwise every branch carries max_iters primitives of
+        # near-goal wandering, roughly doubling the seed's flight time)
+        total_it, t_sh_it = shot_total(new_states, new_g)
+        slot_it = jnp.argmin(total_it)
+        best_total, best_it, best_slot, best_tshot, best_g = best
+        better = total_it[slot_it] < best_total
+        best = (
+            jnp.where(better, total_it[slot_it], best_total),
+            jnp.where(better, it, best_it),
+            jnp.where(better, slot_it, best_slot),
+            jnp.where(better, t_sh_it[slot_it], best_tshot),
+            jnp.where(better, new_g[slot_it], best_g),
+        )
+        return new_states, new_g, new_t, hp, hu, ht, best
+
+    # the direct shot from the start state (zero primitives)
+    total0_all, tsh0_all = shot_total(states0[:1], g0[:1])
+    best0 = (
+        total0_all[0], jnp.asarray(-1, jnp.int32),
+        jnp.asarray(0, jnp.int32), tsh0_all[0], g0[0] * 0.0,
+    )
+    states, g, tcur, hp, hu, ht, best = jax.lax.fori_loop(
         0, max_iters, body,
-        (states0, g0, t0, hist_parent0, hist_u0, hist_tau0),
+        (states0, g0, t0, hist_parent0, hist_u0, hist_tau0, best0),
     )
+    best_total, best_it, best_slot, t_shot_best, best_gv = best
+    reached = best_total < 0.25 * big
 
-    # pick the leaf with the best total estimate including one-shot
-    h, t_shot = estimate_heuristic(states, goal_state, w_time, max_vel)
-    feas = shot_feasible(
-        states, goal_state, jnp.maximum(t_shot, 1e-2), dist_grid, origin,
-        res, margin,
-    )
-    total = g + jnp.where(feas, h, 0.5 * big)
-    leaf = jnp.argmin(total)
-    reached = feas[leaf] & (g[leaf] < big)
-
-    # ---- backtrack the branch: replay history from the leaf ----
+    # ---- backtrack the branch: replay history from the best leaf,
+    # masking iterations after it (they get u = 0, tau = 0 — consumers
+    # drop zero-duration segments) ----
     def back(carry, it):
         slot = carry
-        parent = hp[it, slot]
-        return parent, (slot, hu[it, slot], ht[it, slot])
+        active = it <= best_it
+        parent = jnp.where(active, hp[it, slot], slot)
+        u = jnp.where(active, hu[it, slot], jnp.zeros(3, dtype))
+        tau = jnp.where(active, ht[it, slot], jnp.asarray(0.0, dtype))
+        return parent, (slot, u, tau)
 
     _, (slots, us, tds) = jax.lax.scan(
-        back, leaf, jnp.arange(max_iters - 1, -1, -1)
+        back, best_slot, jnp.arange(max_iters - 1, -1, -1)
     )
     # reverse to forward order
     us = us[::-1]
@@ -440,7 +489,7 @@ def search(
     vel = jnp.concatenate([vel, goal_state[None, 3:]], axis=0)
     acc = jnp.concatenate([acc, jnp.zeros((1, 3), dtype)], axis=0)
     times = jnp.concatenate(
-        [ktaus, jnp.maximum(t_shot[leaf], 1e-2)[None]], axis=0
+        [ktaus, jnp.maximum(t_shot_best, 1e-2)[None]], axis=0
     )
 
     # trim/pad to max_knots (static): keep the LAST max_knots knots
@@ -452,7 +501,7 @@ def search(
         times = times[k - max_knots :]
     return KinoResult(
         pos=pos, vel=vel, acc=acc, times=times, reached=reached,
-        cost=g[leaf],
+        cost=best_gv,
     )
 
 

@@ -24,6 +24,68 @@ import jax
 import jax.numpy as jnp
 
 
+class ObjHistory:
+    """Pose-history ring buffer with sample thinning.
+
+    Host-side port of the reference ``ObjHistory``
+    (obj_predictor.cpp:12-34): every ``skip_num``-th observed pose is
+    recorded (the counter resets on record, so exactly 1 in skip_num
+    observations lands, like the reference's ``++skip_; if (skip_ <
+    skip_num_) return;`` gate) and the buffer keeps the most recent
+    ``queue_size`` records.  Feed :func:`fit_const_vel` / :func:`fit_poly`
+    with :meth:`arrays` (most recent last, as the fitters expect)."""
+
+    def __init__(self, queue_size: int = 20, skip_num: int = 1,
+                 obj_idx: int = 0):
+        self.queue_size = queue_size
+        self.skip_num = skip_num
+        self.obj_idx = obj_idx
+        self._skip = 0
+        self._hist: list[tuple[float, float, float, float]] = []
+
+    def observe(self, pos, t: float) -> bool:
+        """Offer one observation; returns True when it was recorded."""
+        self._skip += 1
+        if self._skip < self.skip_num:
+            return False
+        p = [float(x) for x in pos]
+        self._hist.append((p[0], p[1], p[2], float(t)))
+        if len(self._hist) > self.queue_size:
+            self._hist.pop(0)
+        self._skip = 0
+        return True
+
+    def __len__(self) -> int:
+        return len(self._hist)
+
+    def arrays(self):
+        """(H, 3) positions and (H,) times, oldest first."""
+        import numpy as np
+
+        h = np.asarray(self._hist, dtype=np.float32).reshape(-1, 4)
+        return h[:, :3], h[:, 3]
+
+
+def stack_histories(histories, scales):
+    """Rectangular (n_obj, H, 3) / (n_obj, H) batch from ObjHistory
+    objects (H = the shortest length, tails kept — the fitters read the
+    most recent samples), ready for fit_const_vel / fit_poly."""
+    import numpy as np
+
+    H = min(len(h) for h in histories)
+    if H < 2:
+        raise ValueError("need >= 2 recorded poses per object")
+    ps, ts = [], []
+    for h in histories:
+        p, t = h.arrays()
+        ps.append(p[-H:])
+        ts.append(t[-H:])
+    return (
+        jnp.asarray(np.stack(ps)), jnp.asarray(np.stack(ts)),
+        jnp.asarray(scales, jnp.float32),
+    )
+
+
 class ObjPrediction(NamedTuple):
     poly: jnp.ndarray   # (n_obj, 6, 3) ascending-power coeffs per axis
     t1: jnp.ndarray     # (n_obj,) history start time

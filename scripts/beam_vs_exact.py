@@ -1,0 +1,248 @@
+"""Beam-vs-exact front-end quality gate.
+
+The TPU front-end replaces the reference's sequential priority-queue
+kinodynamic A* (kinodynamic_astar.cpp:17-315) with a fixed-iteration
+batched beam search (search/kinodynamic.py).  SURVEY.md section 7 set the
+parity gate on the *final optimized* trajectory: the beam only needs to
+land the seed in the same homotopy class as the exact search, because
+the penalty back-end does the polishing.
+
+This script measures that claim on a suite of random pillar+wall maps:
+
+* success rate of the exact host A* (native.kino_search — the faithful
+  reference algorithm) vs the beam (same margin/limits),
+* on cases where both succeed: ratio of the BACK-END-REFINED penalty
+  objectives, trajectory times and jerks from each seed.
+
+Run: python scripts/beam_vs_exact.py [n_cases] — writes a table to
+stdout and records the suite in BEAM_VS_EXACT.md at the repo root.
+The conservative regression thresholds live in tests/test_search.py
+(test_beam_vs_exact_gate).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _force_cpu():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under pytest)
+
+
+def make_case(rng, map_cfg=None):
+    """One random search problem: pillars + a gap wall, start/goal in
+    free space on opposite sides of the wall."""
+    import jax.numpy as jnp
+
+    from grad_traj_optimization_tpu.config import MapConfig
+    from grad_traj_optimization_tpu.fields import sdf
+
+    if map_cfg is None:
+        map_cfg = MapConfig(
+            origin=(-8.0, -8.0, 0.0), resolution=0.25,
+            map_size=(16.0, 16.0, 5.0),
+        )
+    res = map_cfg.resolution
+    pts = []
+    # pillars
+    for _ in range(rng.integers(4, 9)):
+        cx, cy = rng.uniform(-5, 5, size=2)
+        sx, sy = rng.uniform(0.4, 1.4, size=2)
+        for x in np.arange(cx - sx / 2, cx + sx / 2 + 1e-9, res):
+            for y in np.arange(cy - sy / 2, cy + sy / 2 + 1e-9, res):
+                for z in np.arange(0.05, 5.0, res):
+                    pts.append((x, y, z))
+    # wall across y=0 with 1-2 gaps
+    gaps = []
+    for _ in range(rng.integers(1, 3)):
+        gx = rng.uniform(-5, 5)
+        gw = rng.uniform(1.2, 2.0)
+        gaps.append((gx - gw / 2, gx + gw / 2))
+    for x in np.arange(-8.0, 8.0, res):
+        if any(lo < x < hi for lo, hi in gaps):
+            continue
+        for z in np.arange(0.05, 5.0, res):
+            pts.append((x, 0.0, z))
+
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    occ = sdf.rasterize(
+        jnp.asarray(np.asarray(pts), jnp.float32), origin, res,
+        map_cfg.grid_shape,
+    )
+    dist = sdf.edt(occ, res)
+    dist_np = np.asarray(dist)
+
+    def free_point(ylo, yhi):
+        for _ in range(100):
+            p = np.array([
+                rng.uniform(-6, 6), rng.uniform(ylo, yhi),
+                rng.uniform(1.0, 3.5),
+            ])
+            i = np.floor((p - np.asarray(map_cfg.origin)) / res).astype(int)
+            if dist_np[i[0], i[1], i[2]] > 0.6:
+                return p
+        return None
+
+    start = free_point(-6.5, -2.0)
+    goal = free_point(2.0, 6.5)
+    if start is None or goal is None:
+        return None
+    return dist, np.asarray(map_cfg.origin), res, start, goal
+
+
+def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
+    """Hermite seed -> penalty refinement -> (final step-2 cost, T_sum,
+    jerk).  Mirrors replan._refine_kino but returns the objective."""
+    import jax.numpy as jnp
+
+    from grad_traj_optimization_tpu.core import poly, qp
+    from grad_traj_optimization_tpu.opt import descent, penalty
+    from grad_traj_optimization_tpu import replan
+
+    pos, vel, acc, times = replan._resample_knots(
+        _KRES(pos, vel, acc, times), 6
+    )
+    T = jnp.asarray(times, jnp.float32)
+    Df, dp0 = qp.kino_d(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(acc, jnp.float32),
+    )
+    dep = qp.build_dep(T)
+    ctx = penalty.build_ctx(T, Df, cfg, dep=dep)
+    lb, ub = penalty.bounds(jnp.asarray(pos, jnp.float32),
+                            dp0.shape[1], cfg)
+    field, grid_shape = penalty.make_field(
+        dist, jnp.asarray(origin, jnp.float32), res
+    )
+    cag = functools.partial(
+        penalty.cost_and_grad, ctx=ctx, field=field,
+        grid_shape=grid_shape, cfg=cfg, step=2,
+    )
+    co = functools.partial(
+        penalty.cost_only, ctx=ctx, field=field, grid_shape=grid_shape,
+        cfg=cfg, step=2,
+    )
+    r = descent.minimize(cag, co, dp0, lb, ub, cfg.iters_step2, cfg,
+                         record_trace=False)
+    coeff = qp.coeff_from_d(Df, r.dp, T)
+    return (
+        float(r.cost), float(np.sum(times)),
+        float(poly.jerk_cost(coeff, T)),
+    )
+
+
+class _KRES:
+    def __init__(self, pos, vel, acc, times):
+        self.pos, self.vel, self.acc, self.times = pos, vel, acc, times
+
+
+def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
+              beam: int = 64, margin: float = 0.2, verbose: bool = True):
+    """Returns the aggregate stats dict (and prints a per-case line)."""
+    _force_cpu()
+    import jax.numpy as jnp
+
+    from grad_traj_optimization_tpu import native
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+    from grad_traj_optimization_tpu.search import kinodynamic
+
+    rng = np.random.default_rng(seed)
+    cfg = OptimizerConfig(iters_step2=40)
+    n_exact = n_beam = n_both = n_valid = 0
+    ratios_cost, ratios_time, ratios_jerk = [], [], []
+    for case in range(n_cases):
+        c = make_case(rng)
+        if c is None:
+            continue
+        dist, origin, res, start, goal = c
+        n_valid += 1
+        s6 = np.concatenate([start, np.zeros(3)])
+        g6 = np.concatenate([goal, np.zeros(3)])
+
+        pe = native.kino_search(
+            np.asarray(dist), origin, res, s6, g6, margin=margin,
+            max_vel=3.0, max_acc=2.0, max_tau=0.5, goal_r=1e9,
+        )
+        ok_e = bool(pe[4])
+        kb = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res,
+            s6.astype(np.float32), g6.astype(np.float32),
+            margin=margin, max_vel=3.0, max_acc=2.0,
+            max_iters=kino_iters, beam=beam,
+        )
+        ok_b = bool(kb.reached)
+        n_exact += ok_e
+        n_beam += ok_b
+        line = f"case {case}: exact={ok_e} beam={ok_b}"
+        if ok_e and ok_b:
+            n_both += 1
+            ce, te, je = refine_cost(
+                dist, origin, res, pe[0], pe[1], pe[2], pe[3], cfg
+            )
+            cb, tb, jb = refine_cost(
+                dist, origin, res, np.asarray(kb.pos), np.asarray(kb.vel),
+                np.asarray(kb.acc), np.asarray(kb.times), cfg
+            )
+            ratios_cost.append(cb / max(ce, 1e-9))
+            ratios_time.append(tb / max(te, 1e-9))
+            ratios_jerk.append(jb / max(je, 1e-9))
+            line += (f" cost_ratio={cb / max(ce, 1e-9):.3f}"
+                     f" time_ratio={tb / max(te, 1e-9):.3f}")
+        if verbose:
+            print(line, flush=True)
+
+    def gm(xs):
+        return float(np.exp(np.mean(np.log(np.maximum(xs, 1e-9))))) if xs else float("nan")
+
+    stats = {
+        "n_cases": n_valid,
+        "exact_success": n_exact,
+        "beam_success": n_beam,
+        "both_success": n_both,
+        "cost_ratio_geomean": gm(ratios_cost),
+        "cost_ratio_p90": float(np.percentile(ratios_cost, 90)) if ratios_cost else float("nan"),
+        "time_ratio_geomean": gm(ratios_time),
+        "jerk_ratio_geomean": gm(ratios_jerk),
+        "kino_iters": kino_iters,
+        "beam": beam,
+    }
+    return stats
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    stats = run_suite(n)
+    print(stats)
+    lines = [
+        "# Beam-vs-exact front-end quality (SURVEY.md section 7 parity gate)",
+        "",
+        "Exact = native.kino_search (the reference priority-queue kinodynamic",
+        "A*, kinodynamic_astar.cpp:17-315, f64 host port).  Beam = the",
+        "TPU-shaped fixed-iteration batched beam (search/kinodynamic.py).",
+        "Ratios compare the BACK-END-REFINED penalty objective from each",
+        "seed (beam / exact) on cases where both front-ends succeed.",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in stats.items()]
+    with open("BEAM_VS_EXACT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BEAM_VS_EXACT.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -157,6 +157,31 @@ def test_rdp_masked_matches_host():
     assert keep.sum() <= len(host) + 4
 
 
+def test_beam_vs_exact_gate():
+    """SURVEY section-7 parity gate for the front-end consolidation:
+    the TPU beam must succeed nearly as often as the exact reference
+    A* (native host port) and seed final optimized trajectories of
+    comparable cost.  Conservative thresholds; the recorded 100-case
+    suite (BEAM_VS_EXACT.md, scripts/beam_vs_exact.py) measured
+    95/100 beam success, refined-cost geomean 0.95, time ratio 1.00."""
+    import pytest
+
+    from grad_traj_optimization_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import sys
+    sys.path.insert(0, "scripts")
+    from beam_vs_exact import run_suite
+
+    stats = run_suite(16, seed=5, verbose=False)
+    assert stats["exact_success"] >= stats["n_cases"] - 2
+    assert stats["beam_success"] >= stats["exact_success"] - 3
+    if stats["both_success"] >= 8:
+        assert stats["cost_ratio_geomean"] < 1.3
+        assert stats["time_ratio_geomean"] < 1.3
+
+
 def test_const_vel_prediction():
     t = np.array([[0.0, 0.5, 1.0]])
     pos = np.array([[[0, 0, 1], [0.5, 0, 1], [1.0, 0, 1]]], np.float32)
@@ -166,6 +191,32 @@ def test_const_vel_prediction():
     )
     p = np.asarray(predictor.predict_position(pred, jnp.asarray(2.0)))
     np.testing.assert_allclose(p[0], [2.0, 0.0, 1.0], atol=1e-5)
+
+
+def test_obj_history_ring_buffer():
+    """queue_size / skip_num thinning semantics
+    (obj_predictor.cpp:19-34) feeding the const-vel fit."""
+    h = predictor.ObjHistory(queue_size=3, skip_num=2)
+    recorded = []
+    for k in range(10):
+        # object moving at 1 m/s in x, observed every 0.1 s
+        recorded.append(h.observe([0.1 * k, 0.0, 1.0], 0.1 * k))
+    # 1 in skip_num observations lands (k = 1, 3, 5, 7, 9)
+    assert sum(recorded) == 5
+    assert len(h) == 3  # ring keeps the newest queue_size
+    pos, t = h.arrays()
+    np.testing.assert_allclose(t, [0.5, 0.7, 0.9], atol=1e-6)
+
+    h2 = predictor.ObjHistory(queue_size=3, skip_num=2)
+    for k in range(10):
+        h2.observe([0.0, 0.2 * k, 1.0], 0.1 * k)
+    hp, ht, sc = predictor.stack_histories(
+        [h, h2], [[0.4, 0.4, 1.0]] * 2
+    )
+    pred = predictor.fit_const_vel(hp, ht, sc)
+    p = np.asarray(predictor.predict_position(pred, jnp.asarray(2.0)))
+    np.testing.assert_allclose(p[0], [2.0, 0.0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(p[1], [0.0, 4.0, 1.0], atol=1e-5)
 
 
 def test_poly_fit_recovers_polynomial():
@@ -263,8 +314,12 @@ def test_kino_search_reaches_goal_free_space():
         dist, origin, res, start, goal, max_iters=10, beam=32,
     )
     assert bool(result.reached)
-    assert np.isfinite(np.asarray(result.times)).all()
-    assert (np.asarray(result.times) > 0).all()
+    times = np.asarray(result.times)
+    assert np.isfinite(times).all()
+    # in free space the direct one-shot fires immediately: every
+    # primitive segment is masked to zero duration (the documented
+    # early-termination tail) and only the shot segment remains
+    assert (times[:-1] == 0.0).all() and times[-1] > 0
     # final knot is the goal
     np.testing.assert_allclose(
         np.asarray(result.pos[-1]), goal[:3], atol=1e-5

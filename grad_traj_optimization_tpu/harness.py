@@ -69,6 +69,7 @@ def run_case(
     clearance: float = 0.4,
     steps=(2,),
     n_waypoints: int | None = None,
+    warm_compile: bool = False,
 ) -> CaseRecord:
     """Front-end (wavefront search + RDP waypoints) then back-end solve.
 
@@ -77,6 +78,11 @@ def run_case(
     default (None, reference-faithful variable counts) each distinct
     count pays its own jit compile — fine for a handful of cases,
     dominant for large suites.
+
+    ``warm_compile``: run the solve once untimed first so
+    ``backend_time_s`` is warm execution only — use this when the cost
+    curve's wall-time axis matters (write_compare2_logs), since a
+    compile-inclusive total would stretch the per-iteration times.
     """
     origin = jnp.asarray(origin, jnp.float32)
 
@@ -104,6 +110,10 @@ def run_case(
         resolution=jnp.asarray(resolution, jnp.float32),
         waypoints=jnp.asarray(waypoints, jnp.float32),
     )
+    if warm_compile:
+        jax.block_until_ready(
+            solve_mod.solve(scn, cfg=cfg, steps=steps, record_trace=True)
+        )
     t0 = time.perf_counter()
     sol = solve_mod.solve(scn, cfg=cfg, steps=steps, record_trace=True)
     jax.block_until_ready(sol)
@@ -168,9 +178,14 @@ def write_compare2_logs(records, front_path: str, back_path: str):
         ``test2:<n>solve_time:<s>,traj_time:<s>,acc_cost:<c>``
       back2.txt (:296-321):
         ``test2:<n>,jerk:<j>,time:<t0>;<t1>;...,cost:<c0>;<c1>;...``
-    where the cost curve is the monotone best-cost envelope per iteration
-    (the reference records per-NLopt-callback wall times; here the time
-    axis is the iteration index scaled by the mean per-iteration time).
+    where the cost curve is the monotone best-cost envelope per iteration.
+    The reference records per-NLopt-callback wall times; here every
+    iteration of the fixed-budget descent executes identical work (one
+    fused cost+gradient evaluation — no line search, no early exit), so
+    the wall axis is the measured solve wall time divided uniformly per
+    iteration.  For time-to-quality comparisons against C++ logs, run
+    the cases with ``run_case(..., warm_compile=True)`` so the measured
+    time excludes the one-off jit compile.
     """
     with open(front_path, "a") as f:
         for r in records:

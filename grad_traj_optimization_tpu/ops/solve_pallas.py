@@ -71,7 +71,8 @@ def supports(grid_shape, n_samples: int, num_dp: int, cfg) -> bool:
 
 def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
             ablate: frozenset = frozenset(), zwin: int = 0,
-            valid=None, dg_ref=None, functional: bool = False):
+            valid=None, dg_ref=None, functional: bool = False,
+            win_zc: int | None = None, yred: str = "vpu"):
     """In-kernel trilinear distance+gradient for pos (SP, 3).
 
     Same math as trilinear_pallas._kernel, with the one-hot corner
@@ -94,6 +95,12 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     pl.when branch outputs.  Both must be given to enable the window
     in-kernel; without ``dg_ref`` a functional jnp.where select is used
     (for property tests).
+
+    ``win_zc`` decouples the WINDOW's chunk granularity from the
+    full-depth layout chunking ``zc`` (the grid's column layout is
+    uniform in z, so any chunk size slices it): window cells =
+    zwin * (win_zc or zc).  ``yred`` selects the y-reduction lowering
+    (see lookup_core).
     """
     nx, ny, nz = grid_shape
     ox = misc[0, 0:1]
@@ -134,7 +141,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     wyn = (h0y * (1.0 - fyq) + h1y * fyq)[:, None, :]  # (SP, 1, NP)
     wyd = ((h1y - h0y) * inv_res)[:, None, :]
 
-    def z_lookup(z0, ncell):
+    def z_lookup(z0, ncell, chunk):
         """Lookup over ncell z-cells starting at (traced) cell z0."""
         # one-hot of the ABSOLUTE-clamped corner cells, window-relative
         lanes = jax.lax.broadcasted_iota(jnp.int32, (SP, ncell), 1)
@@ -148,12 +155,14 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
         wzdt = (h1z - h0z) * inv_res
         return tp.lookup_core(
             grid_ref, wx01, fxq, wyn, wyd, wznt, wzdt, wznt * inv_res,
-            ncell, zc, col0=z0, ablate=ablate, functional=functional,
+            ncell, chunk, col0=z0, ablate=ablate, functional=functional,
+            yred=yred,
         )
 
-    win_cells = zwin * zc
+    wzc = win_zc or zc
+    win_cells = zwin * wzc
     if not (0 < win_cells < nz) or valid is None:
-        d, gx, gy, gz = z_lookup(0, nzp)
+        d, gx, gy, gz = z_lookup(0, nzp, zc)
     else:
         # band of z-corner cells over VALID samples (padded rows would
         # otherwise drag the window to their garbage positions)
@@ -166,8 +175,8 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
         fit = hi - z0 <= win_cells - 1
 
         if dg_ref is None:
-            dw = z_lookup(z0, win_cells)
-            df = z_lookup(0, nzp)
+            dw = z_lookup(z0, win_cells, wzc)
+            df = z_lookup(0, nzp, zc)
             d, gx, gy, gz = [
                 jnp.where(fit, a, b) for a, b in zip(dw, df)
             ]
@@ -175,12 +184,14 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
             @pl.when(fit)
             def _():
                 dg_ref[...] = jnp.concatenate(
-                    z_lookup(z0, win_cells), axis=1
+                    z_lookup(z0, win_cells, wzc), axis=1
                 )
 
             @pl.when(jnp.logical_not(fit))
             def _():
-                dg_ref[...] = jnp.concatenate(z_lookup(0, nzp), axis=1)
+                dg_ref[...] = jnp.concatenate(
+                    z_lookup(0, nzp, zc), axis=1
+                )
 
             dgl = dg_ref[...]
             d, gx, gy, gz = (dgl[:, 0:1], dgl[:, 1:2], dgl[:, 2:3],
@@ -193,7 +204,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
 
 
 def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
-                  *refs):
+                  win_zc, yred, *refs):
     """One scenario's complete multi-phase descent.
 
     ``refs`` is the positional ref pack from pallas_call: 12 inputs
@@ -261,7 +272,8 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
         else:
             d, g = _lookup(
                 gp_ref, pos, misc, grid_shape, nzp, zc, ablate=ablate,
-                zwin=zwin, valid=valid, dg_ref=dg_ref,
+                zwin=zwin, valid=valid, dg_ref=dg_ref, win_zc=win_zc,
+                yred=yred,
             )
 
         if "exp" in ablate:
@@ -433,13 +445,14 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_shape", "phases", "cfg", "interpret",
-                     "ablate", "zwin"),
+                     "ablate", "zwin", "win_zc", "yred"),
 )
 def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
                   lbT, ubT, dp0T, dts, dfT, misc, aacc, phases, cfg,
                   interpret: bool = False,
                   ablate: frozenset = frozenset(),
-                  zwin: int = 2):
+                  zwin: int = 2, win_zc: int | None = None,
+                  yred: str = "vpu"):
     """Run the whole multi-phase descent in one Pallas call.
 
     Args (leading batch axis B on all arrays):
@@ -473,7 +486,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
       dpT (B, P, 3), cost (B,), n_accept (B,) int32,
       cost_trace (B, total_iters) monotone envelope.
     """
-    B = gp.shape[0]
+    B = apos.shape[0]
     nx, ny, nz = grid_shape
     zc = tp._pick_zc(nz)
     nzp = tp._round_up(nz, zc)
@@ -489,8 +502,20 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         (1,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
+    # shared-map batches (gp leading dim 1, B scenarios): every grid
+    # instance indexes the SAME grid block instead of materializing B
+    # HBM copies — the reference's own "one map, many queries" shape
+    # (opti_node.cpp:60-97)
+    shared = gp.shape[0] == 1 and B > 1
+    grid_spec = (
+        pl.BlockSpec(
+            (1, tp.PLANES * NP, nzp * NP), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if shared else spec((tp.PLANES * NP, nzp * NP))
+    )
     in_specs = [
-        spec((tp.PLANES * NP, nzp * NP)),
+        grid_spec,
         spec((SP, ndim)),
         spec((SP, ndim)),
         *([spec((SP, ndim))] if use_a else []),
@@ -508,10 +533,14 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         gp, apos, avel, *([aacc] if use_a else []), tltv, rpp, cgt,
         lbT, ubT, dp0T, dts, dfT, misc,
     )
+    # window cells must stay inside the z extent and divide cleanly
+    wzc = win_zc or zc
+    if win_zc is not None and not (0 < zwin * wzc < grid_shape[2]):
+        raise ValueError(f"window {zwin}x{win_zc} outside z extent")
     odp, osc, otr = pl.pallas_call(
         functools.partial(
             _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate,
-            zwin,
+            zwin, win_zc, yred,
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -523,7 +552,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         ],
         scratch_shapes=(
             [pltpu.VMEM((SP, 4), jnp.float32)]
-            if 0 < zwin * zc < grid_shape[2] else []
+            if 0 < zwin * wzc < grid_shape[2] else []
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024

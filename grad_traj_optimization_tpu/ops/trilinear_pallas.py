@@ -110,7 +110,7 @@ def prep_grids(grids):
 def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
                 ncell: int, zc: int, col0=0,
                 ablate: frozenset = frozenset(),
-                functional: bool = False):
+                functional: bool = False, yred: str = "vpu"):
     """The shared trilinear contraction both Pallas kernels run.
 
     Args (in-kernel values for ONE scenario):
@@ -185,8 +185,30 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
             sn_p.append(sn_p[0] + X[0, 0, 0] * 1e-9)
             sd_p.append(sd_p[0] + X[0, 0, 0] * 1e-9)
             continue
-        sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
-        sd_p.append(jnp.sum(X * wyd2, axis=2))
+        if yred == "mxu":
+            # EXPERIMENT: VPU does only the weight multiplies; the
+            # 128-lane sums ride the MXU as one stacked block-diagonal
+            # f32 dot per chunk ((4*SP, zc*NP) @ (zc*NP, zc)).  The
+            # reduce matrix is exact ones, but a HIGHEST f32 dot costs
+            # 6 MXU passes — measured against the VPU lane reduce.
+            Xn = (X * wyn2).reshape(2 * SP, zc * NP)
+            Xd = (X * wyd2).reshape(2 * SP, zc * NP)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (zc * NP, zc), 0
+            ) // NP
+            outs = jax.lax.broadcasted_iota(
+                jnp.int32, (zc * NP, zc), 1
+            )
+            bd = (cols == outs).astype(jnp.float32)
+            S = jnp.dot(
+                jnp.concatenate([Xn, Xd], axis=0), bd,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (4*SP, zc)
+            sn_p.append(S[: 2 * SP])
+            sd_p.append(S[2 * SP :])
+        else:
+            sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
+            sd_p.append(jnp.sum(X * wyd2, axis=2))
 
     sn = jnp.concatenate(sn_p, axis=1)   # (2*SP, ncell)
     sd = jnp.concatenate(sd_p, axis=1)

@@ -216,6 +216,21 @@ def solve(
     only (ws = 0), step 2 the full cost.  The active demo (opti_node.cpp:
     104) runs only step 2; pass ``steps=(1, 2)`` for the full schedule.
     """
+    # latency path: a single solve dispatches to the whole-descent
+    # Pallas kernel at B=1 (grid loaded to VMEM once, all iterations
+    # on-core) whenever the batched path would — the per-iteration
+    # lookup pays ~100 kernel launches per solve instead of one
+    if cfg.lookup_mode == "auto" and jax.default_backend() == "tpu":
+        from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+        m = scenario.waypoints.shape[0] - 1
+        if sk.supports(
+            scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
+        ):
+            batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
+            sol = solve_batch_kernel(batch, cfg=cfg, steps=steps)
+            return Solution(*jax.tree.map(lambda x: x[0], sol))
+
     if cfg.seed_mode == "dual":
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
@@ -268,11 +283,11 @@ def solve_batch(
     # fast paths (chip-measured at B=1024, in order of preference):
     #  1. whole-descent Pallas kernel (~825 solves/s): the entire BB
     #     descent runs on-core with the grid resident in VMEM (cost
-    #     trace included);
-    #  2. per-iteration fused Pallas lookup (~690 solves/s);
+    #     trace included); shared-map batches (dist leading dim 1)
+    #     point every grid instance at the one prepped grid block;
+    #  2. per-iteration fused Pallas lookup (~690 solves/s)
+    #     (per-scenario grids only);
     #  3. mxu dense-contraction lookup (~440 solves/s, the fallback).
-    # Shared-map batches (dist leading dim 1) skip 1-2: both would
-    # materialize B grid copies.
     if cfg.lookup_mode in ("auto", "fused"):
         from grad_traj_optimization_tpu.ops import solve_pallas as sk
         from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
@@ -283,7 +298,6 @@ def solve_batch(
         if (
             cfg.lookup_mode == "auto"
             and on_tpu
-            and per_scenario_grids
             and sk.supports(grid_shape, m * cfg.n_samples, 3 * m - 3, cfg)
         ):
             return solve_batch_kernel(scenarios, cfg=cfg, steps=steps)
@@ -494,9 +508,10 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     )
     misc = misc.at[:, 0, 4].set(c_ff)
 
+    # shared-map batches keep the single grid: descend_fused points
+    # every Pallas grid instance at the same prepped block (no B-fold
+    # HBM broadcast)
     grids = scenarios.dist
-    if grids.shape[0] == 1 and B > 1:
-        grids = jnp.broadcast_to(grids, (B,) + grids.shape[1:])
     gp = tp.prep_grids(grids)
 
     kargs = (

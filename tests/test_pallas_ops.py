@@ -81,6 +81,48 @@ def test_trilinear_fused_matches_mxu_per_sample():
     assert np.all(np.asarray(g_f)[:, -20:] == 0.0)
 
 
+def test_solve_kernel_variant_lowerings_match():
+    """The window-chunk-granularity (win_zc) and MXU-lane-reduce (yred)
+    experiment variants are pure lowering changes: interpret-mode
+    outputs must be bitwise-identical to the baseline kernel."""
+    import numpy as np
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import (
+        MapConfig, OptimizerConfig,
+    )
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    map_cfg = MapConfig(
+        origin=(-4.0, -4.0, 0.0), resolution=0.25,
+        map_size=(8.0, 8.0, 6.0),
+    )
+    obss = np.array(
+        [(x, 0.0, z)
+         for x in np.arange(-2.0, 2.0, 0.25)
+         for z in np.arange(0.1, 6.0, 0.25)
+         if abs(x) > 0.5]
+    )
+    wp = np.array(
+        [[0.0, -3.0, 2.0], [0.2, -1.0, 2.4], [0.0, 1.0, 2.0],
+         [0.0, 3.0, 2.2]]
+    )
+    cfg = OptimizerConfig(iters_step2=6)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(*jax.tree.map(lambda x: x[None], scn))
+    kargs, _ = solve_mod.kernel_inputs(batch, cfg)
+    base = sk.descend_fused(*kargs, ((2, 6),), cfg, interpret=True,
+                            zwin=2)
+    for kw in (dict(zwin=2, win_zc=4), dict(zwin=3, win_zc=3),
+               dict(zwin=2, yred="mxu"),
+               dict(zwin=2, win_zc=4, yred="mxu")):
+        out = sk.descend_fused(*kargs, ((2, 6),), cfg, interpret=True,
+                               **kw)
+        np.testing.assert_array_equal(np.asarray(out[0]),
+                                      np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(out[1]),
+                                      np.asarray(base[1]))
+
+
 def test_solve_kernel_zwin_is_exact():
     """Dynamic z-window: excluded columns have identically zero
     z-weights, so the lookup is exact in exact arithmetic (the pure-JAX

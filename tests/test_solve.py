@@ -419,6 +419,42 @@ def test_solve_batch_kernel_va_penalties():
     )
 
 
+def test_solve_batch_kernel_shared_map():
+    """Shared-map batches (dist leading dim 1): every kernel grid
+    instance indexes the ONE prepped grid block; outputs must equal the
+    broadcast-copies run exactly."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(iters_step1=3, iters_step2=10)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    wps = np.stack(
+        [wp, wp + np.array([0.15, 0.0, 0.1]), wp + np.array([-0.1, 0.05, 0.0])],
+        axis=0,
+    )
+    B = 3
+    shared = solve_mod.Scenario(
+        dist=scn.dist[None],  # leading dim 1
+        origin=jnp.broadcast_to(scn.origin, (B, 3)),
+        resolution=jnp.broadcast_to(scn.resolution, (B,)),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    copies = solve_mod.Scenario(
+        dist=jnp.broadcast_to(scn.dist, (B,) + scn.dist.shape),
+        origin=shared.origin,
+        resolution=shared.resolution,
+        waypoints=shared.waypoints,
+    )
+    s_sh = solve_mod.solve_batch_kernel(shared, cfg=cfg, steps=(1, 2),
+                                        interpret=True)
+    s_cp = solve_mod.solve_batch_kernel(copies, cfg=cfg, steps=(1, 2),
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_sh.cost),
+                                  np.asarray(s_cp.cost))
+    np.testing.assert_array_equal(np.asarray(s_sh.dp),
+                                  np.asarray(s_cp.dp))
+    np.testing.assert_array_equal(np.asarray(s_sh.n_accept),
+                                  np.asarray(s_cp.n_accept))
+
+
 def test_va_solve_matches_float64_oracle():
     """End-to-end solve with alpha_v/alpha_a on vs the golden f64 oracle
     running the same descent — the VERDICT item-3 acceptance gate."""

@@ -103,12 +103,14 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     (see lookup_core).
     """
     nx, ny, nz = grid_shape
+    npx, npy = tp.np_for(nx), tp.np_for(ny)
     ox = misc[0, 0:1]
     oy = misc[0, 1:2]
     oz = misc[0, 2:3]
     r = misc[0, 3]
     inv_res = 1.0 / r
 
+    sp = pos.shape[0]  # padded sample rows (8-aligned; default SP)
     px, py, pz = pos[:, 0:1], pos[:, 1:2], pos[:, 2:3]
     ok = (
         (px > ox + 1e-4) & (px < ox + nx * r - 1e-4)
@@ -127,13 +129,13 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     iz, fzq = idx_frac(pz, oz)
 
     def hots(i, n, n_lanes):
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (SP, n_lanes), 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sp, n_lanes), 1)
         h0 = (lanes == jnp.clip(i, 0, n - 1)).astype(jnp.float32)
         h1 = (lanes == jnp.clip(i + 1, 0, n - 1)).astype(jnp.float32)
         return h0, h1
 
-    h0x, h1x = hots(ix, nx, NP)
-    h0y, h1y = hots(iy, ny, NP)
+    h0x, h1x = hots(ix, nx, npx)
+    h0y, h1y = hots(iy, ny, npy)
 
     # stacked bf16 one-hot rows, tiled per grid plane (hi, mid[, lo])
     wx = jnp.concatenate([h0x, h1x], axis=0).astype(jnp.bfloat16)
@@ -144,7 +146,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     def z_lookup(z0, ncell, chunk):
         """Lookup over ncell z-cells starting at (traced) cell z0."""
         # one-hot of the ABSOLUTE-clamped corner cells, window-relative
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (SP, ncell), 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sp, ncell), 1)
         h0z = (lanes == jnp.clip(iz, 0, nz - 1) - z0).astype(
             jnp.float32
         )
@@ -204,7 +206,7 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
 
 
 def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
-                  win_zc, yred, *refs):
+                  win_zc, yred, qpfuse, *refs):
     """One scenario's complete multi-phase descent.
 
     ``refs`` is the positional ref pack from pallas_call: 12 inputs
@@ -231,6 +233,17 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
     avel = avel_ref[0]
     tltv = tltv_ref[0]  # (P, 2*SP): [TL^T | TVL^T] stacked on K
     rpp = rpp_ref[0]    # (P, P)
+    if qpfuse:
+        # iteration-invariant fused operands (hoisted): ONE dot per
+        # iteration computes pos AND vel; another computes the full
+        # gradient chain AND the smoothness matvec z = Rpp dpT (as two
+        # extra N columns) — the small dots' MXU latency, not their
+        # MACs, was the measured cost (CLAUDE.md: VPU variant of the
+        # QP contractions lost to padded dots; here they ride the
+        # SAME padded dots instead)
+        apv = jnp.concatenate([apos, avel], axis=0)   # (2*SP, ndim)
+        tlr = jnp.concatenate([tltv, rpp], axis=1)    # (P, K2 + P)
+        K2 = tltv.shape[1]
     cgt = cgt_ref[0]    # (P, 3)
     lbT = lbT_ref[0]    # (P, 3)
     ubT = ubT_ref[0]
@@ -244,10 +257,16 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
 
     def cost_and_grad(dpT, ws, step):
         d_full = jnp.concatenate([dfT, dpT], axis=0)  # (ndim, 3)
-        # smoothness: d^T R d and its dp-gradient (penalty._smooth)
-        z = jnp.dot(rpp, dpT, precision=HI)  # (P, 3)
-        cost_s = c_ff + jnp.sum(cgt * dpT) + jnp.sum(dpT * z)
-        grad_s = cgt + 2.0 * z
+        fuse = (
+            qpfuse and "qpdots" not in ablate
+            and "graddots" not in ablate
+            and abs(cfg.w_collision) >= 1e-4
+        )
+        if not fuse:
+            # smoothness: d^T R d + dp-gradient (penalty._smooth)
+            z = jnp.dot(rpp, dpT, precision=HI)  # (P, 3)
+            cost_s = c_ff + jnp.sum(cgt * dpT) + jnp.sum(dpT * z)
+            grad_s = cgt + 2.0 * z
 
         if abs(cfg.w_collision) < 1e-4:  # reference skips the loop (:346)
             cost = ws * cost_s + cfg.cost_eps
@@ -263,6 +282,11 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
             sc = 1.0 + jnp.sum(d_full) * 1e-9
             pos = apos[:, 0:3] * sc  # (SP, 3)
             vel = avel[:, 0:3] * sc
+        elif fuse:
+            pv = jnp.dot(apv, d_full, precision=HI)  # (2*sp_k, 3)
+            sp_k = apos.shape[0]
+            pos = pv[:sp_k]
+            vel = pv[sp_k:]
         else:
             pos = jnp.dot(apos, d_full, precision=HI)  # (SP, 3)
             vel = jnp.dot(avel, d_full, precision=HI)
@@ -331,37 +355,51 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
                 w_tvl += cafac * vel / vn
                 w_tal = (ga * vn) * dts
 
+        wc = cfg.w_collision
         if "graddots" in ablate:
             grad_c = w1[:P] + w2[:P]  # (P, 3) sublane slice
-            grad = ws * grad_s + cfg.w_collision * grad_c
-        elif va:
-            # fold wc into the collision weights so the single merged
-            # dot carries both the wc-scaled collision chains and the
-            # unit-weight vel/acc chains
-            wc = cfg.w_collision
-            blocks = [wc * w1, wc * w2 + w_tvl * dts]
-            if use_a:
-                blocks.append(w_tal)
-            grad = ws * grad_s + jnp.dot(
-                tltv, jnp.concatenate(blocks, axis=0), precision=HI
-            )
+            grad = ws * grad_s + wc * grad_c
         else:
             # ONE K-stacked dot instead of tlT@w1 + tvlT@w2: the MXU
             # pads K per dot (184 -> 256 twice vs 368 -> 384 once),
             # so merging cuts ~25% of this op's passes — measured
             # ~3.5 us/scenario-iter for the split pair (ablation).
-            pad_a = tltv.shape[1] - 2 * SP  # TAL block present, unused
-            w12 = jnp.concatenate([w1, w2], axis=0)  # (2*SP, 3)
+            # wc is folded into the weights so the vel/acc penalty
+            # chains (unit weight) can ride the same dot.
+            blocks = [wc * w1, wc * w2 + (w_tvl * dts if va else 0.0)]
+            if va and use_a:
+                blocks.append(w_tal)
+            Bk = jnp.concatenate(blocks, axis=0)
+            pad_a = tltv.shape[1] - Bk.shape[0]  # unused TAL block
             if pad_a > 0:
-                w12 = jnp.concatenate(
-                    [w12, jnp.zeros((pad_a, 3), w12.dtype)], axis=0
+                Bk = jnp.concatenate(
+                    [Bk, jnp.zeros((pad_a, 3), Bk.dtype)], axis=0
                 )
-            grad_c = jnp.dot(tltv, w12, precision=HI)  # (P, 3)
-            grad = ws * grad_s + cfg.w_collision * grad_c
+            if fuse:
+                # two extra N columns carry z = Rpp dpT through the
+                # same padded dot (N 3 -> 6, both under the 128-lane
+                # tile): out[:, 0:3] = wc grad_c + 2 ws z, out[:, 3:6]
+                # = z for the smoothness cost quadratic
+                B = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [Bk, jnp.zeros((Bk.shape[0], 3), Bk.dtype)],
+                            axis=1,
+                        ),
+                        jnp.concatenate(
+                            [(2.0 * ws) * dpT, dpT], axis=1
+                        ),
+                    ],
+                    axis=0,
+                )
+                out = jnp.dot(tlr, B, precision=HI)  # (P, 6)
+                z = out[:, 3:6]
+                cost_s = c_ff + jnp.sum(cgt * dpT) + jnp.sum(dpT * z)
+                grad = ws * cgt + out[:, 0:3]
+            else:
+                grad = ws * grad_s + jnp.dot(tltv, Bk, precision=HI)
 
-        cost = ws * cost_s + cfg.w_collision * cost_c + cost_va + (
-            cfg.cost_eps
-        )
+        cost = ws * cost_s + wc * cost_c + cost_va + cfg.cost_eps
         if ref_grad:
             grad = grad + cfg.grad_eps
         return cost, grad
@@ -445,14 +483,14 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_shape", "phases", "cfg", "interpret",
-                     "ablate", "zwin", "win_zc", "yred"),
+                     "ablate", "zwin", "win_zc", "yred", "qpfuse"),
 )
 def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
                   lbT, ubT, dp0T, dts, dfT, misc, aacc, phases, cfg,
                   interpret: bool = False,
                   ablate: frozenset = frozenset(),
                   zwin: int = 2, win_zc: int | None = None,
-                  yred: str = "vpu"):
+                  yred: str = "vpu", qpfuse: bool = False):
     """Run the whole multi-phase descent in one Pallas call.
 
     Args (leading batch axis B on all arrays):
@@ -487,6 +525,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
       cost_trace (B, total_iters) monotone envelope.
     """
     B = apos.shape[0]
+    sp = apos.shape[1]  # padded sample rows (kernel_inputs pads to 8)
     nx, ny, nz = grid_shape
     zc = tp._pick_zc(nz)
     nzp = tp._round_up(nz, zc)
@@ -507,25 +546,26 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
     # HBM copies — the reference's own "one map, many queries" shape
     # (opti_node.cpp:60-97)
     shared = gp.shape[0] == 1 and B > 1
+    grid_block = (gp.shape[1], gp.shape[2])  # (PLANES*npx, nzp*npy)
     grid_spec = (
         pl.BlockSpec(
-            (1, tp.PLANES * NP, nzp * NP), lambda i: (0, 0, 0),
+            (1,) + grid_block, lambda i: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        if shared else spec((tp.PLANES * NP, nzp * NP))
+        if shared else spec(grid_block)
     )
     in_specs = [
         grid_spec,
-        spec((SP, ndim)),
-        spec((SP, ndim)),
-        *([spec((SP, ndim))] if use_a else []),
+        spec((sp, ndim)),
+        spec((sp, ndim)),
+        *([spec((sp, ndim))] if use_a else []),
         spec((P, tltv.shape[2])),
         spec((P, P)),
         spec((P, 3)),
         spec((P, 3)),
         spec((P, 3)),
         spec((P, 3)),
-        spec((SP, 1)),
+        spec((sp, 1)),
         spec((6, 3)),
         spec((1, 8)),
     ]
@@ -540,7 +580,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
     odp, osc, otr = pl.pallas_call(
         functools.partial(
             _solve_kernel, grid_shape, nzp, zc, phases, cfg, ablate,
-            zwin, win_zc, yred,
+            zwin, win_zc, yred, qpfuse,
         ),
         grid=(B,),
         in_specs=in_specs,
@@ -551,7 +591,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
             jax.ShapeDtypeStruct((B, 1, total_iters), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((SP, 4), jnp.float32)]
+            [pltpu.VMEM((sp, 4), jnp.float32)]
             if 0 < zwin * wzc < grid_shape[2] else []
         ),
         compiler_params=pltpu.CompilerParams(

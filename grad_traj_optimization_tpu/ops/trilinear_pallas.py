@@ -25,8 +25,11 @@ weight tensors — no materialized intermediate.  The grid layout prep
 (transpose + pad) is hoisted into :func:`prep_grids` so the per-iteration
 cost is the kernel alone.
 
-Shape limits (fall back to sdf.trilinear_mxu otherwise): nx <= 128,
-ny <= 128, nz limited by VMEM (t1 is 2*SP x nz*128 f32), samples <= SP.
+Shape limits (fall back to sdf.trilinear_mxu otherwise): samples <=
+512 with the padded sample-row count derived per call (sp_for:
+8-sublane aligned); x/y extents pad to 128-lane tile multiples
+(np_for — the reference's own 200x200x25 demo map fits), with VMEM
+bounding the (grid block + X intermediate) footprint (supports()).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: padded sample capacity per scenario (samples on sublanes)
 SP = 184
-#: padded x/y extents (MXU tile)
+#: the MXU/lane tile all padded x/y extents are multiples of
 NP = 128
 #: bf16 planes the f32 grid splits into (hi, mid[, lo]).  2 planes are
 #: relatively accurate to ~2^-17: <=6e-5 m absolute in the
@@ -56,6 +59,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def np_for(n: int) -> int:
+    """Padded extent of a grid x/y axis: 128-lane tile multiples (a
+    multi-tile extent makes the x contraction a longer K and the y
+    reduction a wider lane sweep — supported up to supports()'s VMEM
+    bound, so the reference's own 200x200x25 demo map takes the fused
+    kernels)."""
+    return _round_up(max(n, 1), NP)
+
+
+def sp_for(n_samples: int) -> int:
+    """Padded sample-row count: 8-sublane aligned, at least the
+    historical SP=184 floor is NOT forced — smaller batches of samples
+    pay proportionally less VPU reduce work."""
+    return max(8, _round_up(n_samples, 8))
+
+
 def _pick_zc(nz: int) -> int:
     """z-cells per in-kernel chunk: prefer large chunks, avoid padding."""
     best, best_pad = 8, _round_up(nz, 8) - nz
@@ -68,12 +87,17 @@ def _pick_zc(nz: int) -> int:
 
 def supports(grid_shape, n_samples: int) -> bool:
     nx, ny, nz = grid_shape
-    # grid block (PLANES*NP x nzp*NP bf16) is the dominant VMEM tenant
-    # (x2 pipelining)
+    npx, npy = np_for(nx), np_for(ny)
     nzp = _round_up(nz, _pick_zc(nz))
+    sp = sp_for(n_samples)
     return (
-        nx <= NP and ny <= NP and n_samples <= SP
-        and PLANES * NP * nzp * NP * 2 * 2 <= (8 << 20)
+        n_samples <= 512
+        # grid block (x2 pipelining) + the per-chunk X intermediate
+        # (a few chunks alive for pipelining) must fit the kernel's
+        # 64 MB VMEM budget with headroom for chains and weights
+        and PLANES * npx * nzp * npy * 2 * 2
+        + 2 * sp * _pick_zc(nz) * npy * 4 * 4
+        <= (40 << 20)
     )
 
 
@@ -93,18 +117,19 @@ def prep_grids(grids):
     passes where a HIGHEST f32 dot costs 6 — on the op that dominates
     the whole solve."""
     B, nx, ny, nz = grids.shape
+    npx, npy = np_for(nx), np_for(ny)
     nzp = _round_up(nz, _pick_zc(nz))
     g = jnp.transpose(grids, (0, 1, 3, 2))  # (B, nx, nz, ny)
     g = jnp.pad(
-        g, ((0, 0), (0, NP - nx), (0, nzp - nz), (0, NP - ny))
-    ).reshape(B, NP, nzp * NP)
+        g, ((0, 0), (0, npx - nx), (0, nzp - nz), (0, npy - ny))
+    ).reshape(B, npx, nzp * npy)
     planes = []
     rem = g
     for _ in range(PLANES):
         p = rem.astype(jnp.bfloat16)
         planes.append(p)
         rem = rem - p.astype(jnp.float32)
-    return jnp.concatenate(planes, axis=1)  # (B, PLANES*NP, nzp*NP)
+    return jnp.concatenate(planes, axis=1)  # (B, PLANES*npx, nzp*npy)
 
 
 def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
@@ -154,32 +179,34 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
     reduction itself).  Time attribution = full kernel wall time minus
     the ablated variant's."""
     prec = jax.lax.Precision.DEFAULT
-    wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*SP, 1, NP)
+    sp = wyn.shape[0]  # padded sample rows (8-aligned, default SP)
+    npy = wyn.shape[2]  # padded y extent (lane-tile multiple)
+    wyn2 = jnp.concatenate([wyn, wyn], axis=0)  # (2*sp, 1, NP)
     wyd2 = jnp.concatenate([wyd, wyd], axis=0)
     sn_p, sd_p = [], []
     for zb in range(ncell // zc):
         if "xdot" in ablate:
             X = jnp.broadcast_to(
                 wx01[:, 0:1, None].astype(jnp.float32),
-                (2 * SP, zc, NP),
+                (2 * sp, zc, npy),
             )
         elif functional:
             # grid_ref is a plain ARRAY (pure-JAX property tests; an
             # isinstance dispatch can't work — in-kernel ref tracers
             # also pass isinstance(x, jax.Array))
             Gb = jax.lax.dynamic_slice_in_dim(
-                grid_ref[0], (col0 + zb * zc) * NP, zc * NP, axis=1
+                grid_ref[0], (col0 + zb * zc) * npy, zc * npy, axis=1
             )
             X = jnp.dot(
                 wx01, Gb, preferred_element_type=jnp.float32,
                 precision=prec,
-            ).reshape(2 * SP, zc, NP)
+            ).reshape(2 * sp, zc, npy)
         else:
-            Gb = grid_ref[0, :, pl.ds((col0 + zb * zc) * NP, zc * NP)]
+            Gb = grid_ref[0, :, pl.ds((col0 + zb * zc) * npy, zc * npy)]
             X = jnp.dot(
                 wx01, Gb, preferred_element_type=jnp.float32,
                 precision=prec,
-            ).reshape(2 * SP, zc, NP)
+            ).reshape(2 * sp, zc, npy)
         if "yreduce" in ablate and zb > 0:
             # scalar tap keeps this chunk's X (and its dot) alive
             sn_p.append(sn_p[0] + X[0, 0, 0] * 1e-9)
@@ -191,29 +218,29 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
             # f32 dot per chunk ((4*SP, zc*NP) @ (zc*NP, zc)).  The
             # reduce matrix is exact ones, but a HIGHEST f32 dot costs
             # 6 MXU passes — measured against the VPU lane reduce.
-            Xn = (X * wyn2).reshape(2 * SP, zc * NP)
-            Xd = (X * wyd2).reshape(2 * SP, zc * NP)
+            Xn = (X * wyn2).reshape(2 * sp, zc * npy)
+            Xd = (X * wyd2).reshape(2 * sp, zc * npy)
             cols = jax.lax.broadcasted_iota(
-                jnp.int32, (zc * NP, zc), 0
-            ) // NP
+                jnp.int32, (zc * npy, zc), 0
+            ) // npy
             outs = jax.lax.broadcasted_iota(
-                jnp.int32, (zc * NP, zc), 1
+                jnp.int32, (zc * npy, zc), 1
             )
             bd = (cols == outs).astype(jnp.float32)
             S = jnp.dot(
                 jnp.concatenate([Xn, Xd], axis=0), bd,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (4*SP, zc)
-            sn_p.append(S[: 2 * SP])
-            sd_p.append(S[2 * SP :])
+            sn_p.append(S[: 2 * sp])
+            sd_p.append(S[2 * sp :])
         else:
             sn_p.append(jnp.sum(X * wyn2, axis=2))    # (2*SP, zc)
             sd_p.append(jnp.sum(X * wyd2, axis=2))
 
     sn = jnp.concatenate(sn_p, axis=1)   # (2*SP, ncell)
     sd = jnp.concatenate(sd_p, axis=1)
-    r0n, r1n = sn[:SP], sn[SP:]
-    r0d, r1d = sd[:SP], sd[SP:]
+    r0n, r1n = sn[:sp], sn[sp:]
+    r0d, r1d = sd[:sp], sd[sp:]
 
     rn = (1.0 - fx_frac) * r0n + fx_frac * r1n
     rdy = (1.0 - fx_frac) * r0d + fx_frac * r1d
@@ -229,7 +256,8 @@ def lookup_core(grid_ref, wx01, fx_frac, wyn, wyd, wznt, wzdt, wzntx,
 def _kernel(nzp: int, zc: int, wx01_ref, fx_ref, wyn_ref,
             wyd_ref, wznt_ref, wzdt_ref, wzntx_ref, grid_ref, o_ref):
     """One scenario of the standalone lookup (see lookup_core).  fx is
-    (SP, 1) — one x fraction per sample."""
+    (sp, 1) — one x fraction per sample."""
+    sp = fx_ref.shape[1]
     d, gx, gy, gz = lookup_core(
         grid_ref,
         wx01_ref[0],
@@ -248,10 +276,10 @@ def _kernel(nzp: int, zc: int, wx01_ref, fx_ref, wyn_ref,
     # outside)
     o_ref[0] = jnp.concatenate(
         [
-            jnp.broadcast_to(d, (SP, 32)),
-            jnp.broadcast_to(gx, (SP, 32)),
-            jnp.broadcast_to(gy, (SP, 32)),
-            jnp.broadcast_to(gz, (SP, 32)),
+            jnp.broadcast_to(d, (sp, 32)),
+            jnp.broadcast_to(gx, (sp, 32)),
+            jnp.broadcast_to(gy, (sp, 32)),
+            jnp.broadcast_to(gz, (sp, 32)),
         ],
         axis=1,
     )
@@ -321,13 +349,16 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
 
     zc = _pick_zc(nz)
     nzp = _round_up(nz, zc)
-    h0x, h1x = _corner_hots(idx[..., 0], nx, NP, dtype)
-    wy_n, wy_d = _weights(idx[..., 1], diff[..., 1], ny, NP, dtype)
+    npx, npy = np_for(nx), np_for(ny)
+    h0x, h1x = _corner_hots(idx[..., 0], nx, npx, dtype)
+    wy_n, wy_d = _weights(idx[..., 1], diff[..., 1], ny, npy, dtype)
     wz_n, wz_d = _weights(idx[..., 2], diff[..., 2], nz, nzp, dtype)
     inv_res = (1.0 / res)[:, None, None]
 
+    sp = sp_for(S)
+
     def pad_s(a):
-        return jnp.pad(a, ((0, 0), (0, SP - S)) + ((0, 0),) * (a.ndim - 2))
+        return jnp.pad(a, ((0, 0), (0, sp - S)) + ((0, 0),) * (a.ndim - 2))
 
     # x-corner one-hot rows stacked on the sublane axis and tiled on the
     # contraction axis (one copy per bf16 grid plane):
@@ -346,26 +377,26 @@ def trilinear_fused_prepped(gp, grid_shape, origin, resolution, pos,
         functools.partial(_kernel, nzp, zc),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2 * SP, PLANES * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2 * sp, PLANES * npx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, npy), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, npy), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SP, nzp), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sp, nzp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PLANES * NP, nzp * NP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PLANES * npx, nzp * npy), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, SP, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, sp, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, SP, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, sp, 128), jnp.float32),
         # Mosaic's default 16 MB scoped-VMEM stack is too tight for the
         # pipelined bf16 grid blocks + the f32 X intermediate; the chip
         # has 128 MB VMEM, so give the kernel room.

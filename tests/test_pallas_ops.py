@@ -121,6 +121,16 @@ def test_solve_kernel_variant_lowerings_match():
                                       np.asarray(base[0]))
         np.testing.assert_array_equal(np.asarray(out[1]),
                                       np.asarray(base[1]))
+    # qpfuse reassociates the z matvec into the gradient dot: equal to
+    # f32 rounding (not bitwise), same accept sequence
+    out = sk.descend_fused(*kargs, ((2, 6),), cfg, interpret=True,
+                           zwin=2, qpfuse=True)
+    np.testing.assert_array_equal(np.asarray(out[2]),
+                                  np.asarray(base[2]))  # n_accept
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(base[1]),
+                               rtol=1e-4)
 
 
 def test_solve_kernel_zwin_is_exact():

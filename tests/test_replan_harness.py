@@ -79,10 +79,15 @@ def test_replan_wall_appears_mid_flight():
     shape = (40, 40, 16)
     free = jnp.full(shape, sdf.FREE_DIST, jnp.float32)
 
-    # the appearing wall: y = 0 plane, gap only at x in [0.8, 2.4]
+    # the appearing wall: two cells thick (check_num=5 is the REFERENCE
+    # sweep density, kinodynamic_astar.cpp:199-213 + compare22.launch
+    # check_num=5 — a one-cell wall with margin < resolution can slip
+    # between samples, in the reference exactly as here), gap only at
+    # x in [0.8, 2.4]
     pts = [
-        (x, 0.0, z)
+        (x, y, z)
         for x in np.arange(-5.0, 5.0, res)
+        for y in (0.0, res)
         for z in np.arange(0.1, 4.0, res)
         if not (0.8 < x < 2.4)
     ]

@@ -455,6 +455,44 @@ def test_solve_batch_kernel_shared_map():
                                   np.asarray(s_cp.n_accept))
 
 
+def test_solve_batch_kernel_many_waypoints():
+    """The kernel's padded sample-row count is derived per call
+    (sp_for), so m=10 (300 samples — beyond the old fixed SP=184 cap)
+    dispatches through the whole-descent kernel and matches the vmap
+    path."""
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    map_cfg = MapConfig(
+        origin=(-10.0, -10.0, 0.0), resolution=0.25,
+        map_size=(20.0, 20.0, 5.0),
+    )
+    rng = np.random.default_rng(0)
+    obss = np.array(
+        [(x, y, z)
+         for cx, cy in rng.uniform(-6, 6, (6, 2))
+         for x in np.arange(cx - 0.5, cx + 0.5, 0.25)
+         for y in np.arange(cy - 0.5, cy + 0.5, 0.25)
+         for z in np.arange(0.05, 5.0, 0.25)]
+    )
+    y = np.linspace(-7, 7, 11)
+    wp = np.stack(
+        [rng.uniform(-1.5, 1.5, 11), y, rng.uniform(1.5, 3, 11)], -1
+    )
+    cfg = OptimizerConfig(iters_step2=10)
+    assert sk.supports(map_cfg.grid_shape, 300, 27, cfg)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(*jax.tree.map(lambda a: a[None], scn))
+    s_ref = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,),
+                                  record_trace=False)
+    s_k = solve_mod.solve_batch_kernel(batch, cfg=cfg, steps=(2,),
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_k.n_accept),
+                                  np.asarray(s_ref.n_accept))
+    p1, _ = poly.sample_uniform(s_ref.coeff[0], s_ref.T[0], 100)
+    p2, _ = poly.sample_uniform(s_k.coeff[0], s_k.T[0], 100)
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+
+
 def test_va_solve_matches_float64_oracle():
     """End-to-end solve with alpha_v/alpha_a on vs the golden f64 oracle
     running the same descent — the VERDICT item-3 acceptance gate."""

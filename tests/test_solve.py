@@ -493,6 +493,43 @@ def test_solve_batch_kernel_many_waypoints():
     assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
 
 
+def test_solve_batch_kernel_multitile_grid():
+    """Grids over 128 cells pad to lane-tile multiples (npx/npy = 256):
+    the kernel must match the vmap path on a 160x160x12 map."""
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    map_cfg = MapConfig(
+        origin=(-20.0, -20.0, 0.0), resolution=0.25,
+        map_size=(40.0, 40.0, 3.0),
+    )
+    assert map_cfg.grid_shape == (160, 160, 12)
+    rng = np.random.default_rng(4)
+    obss = np.array(
+        [(x, y, z)
+         for cx, cy in rng.uniform(-12, 12, (5, 2))
+         for x in np.arange(cx - 0.6, cx + 0.6, 0.25)
+         for y in np.arange(cy - 0.6, cy + 0.6, 0.25)
+         for z in np.arange(0.05, 3.0, 0.25)]
+    )
+    wp = np.stack(
+        [rng.uniform(-2, 2, 5), np.linspace(-14, 14, 5),
+         rng.uniform(1.0, 2.0, 5)], -1,
+    )
+    cfg = OptimizerConfig(iters_step2=6)
+    assert sk.supports(map_cfg.grid_shape, 120, 12, cfg)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(*jax.tree.map(lambda a: a[None], scn))
+    s_ref = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,),
+                                  record_trace=False)
+    s_k = solve_mod.solve_batch_kernel(batch, cfg=cfg, steps=(2,),
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_k.n_accept),
+                                  np.asarray(s_ref.n_accept))
+    p1, _ = poly.sample_uniform(s_ref.coeff[0], s_ref.T[0], 100)
+    p2, _ = poly.sample_uniform(s_k.coeff[0], s_k.T[0], 100)
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+
+
 def test_va_solve_matches_float64_oracle():
     """End-to-end solve with alpha_v/alpha_a on vs the golden f64 oracle
     running the same descent — the VERDICT item-3 acceptance gate."""

@@ -49,8 +49,14 @@ def _load():
                 ["make", "-C", _NATIVE_DIR], check=True,
                 capture_output=True, timeout=120,
             )
-        except Exception as e:  # toolchain missing — stay unavailable
-            raise RuntimeError(f"native build failed: {e}") from e
+        except Exception as e:
+            # toolchain missing/broken: fall through and try the
+            # existing .so — the ABI check below decides whether a
+            # prebuilt library is actually usable (an mtime-stale but
+            # ABI-current .so, e.g. after a checkout touched sources,
+            # stays available)
+            if not os.path.exists(_LIB_PATH):
+                raise RuntimeError(f"native build failed: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
     try:
         abi = lib.gtop_abi_version()

@@ -243,7 +243,6 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
         # SAME padded dots instead)
         apv = jnp.concatenate([apos, avel], axis=0)   # (2*SP, ndim)
         tlr = jnp.concatenate([tltv, rpp], axis=1)    # (P, K2 + P)
-        K2 = tltv.shape[1]
     cgt = cgt_ref[0]    # (P, 3)
     lbT = lbT_ref[0]    # (P, 3)
     ubT = ubT_ref[0]
@@ -573,9 +572,12 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         gp, apos, avel, *([aacc] if use_a else []), tltv, rpp, cgt,
         lbT, ubT, dp0T, dts, dfT, misc,
     )
-    # window cells must stay inside the z extent and divide cleanly
+    # window cells must stay inside the z extent (zwin=0 = disabled is
+    # always legal, with or without a win_zc override)
     wzc = win_zc or zc
-    if win_zc is not None and not (0 < zwin * wzc < grid_shape[2]):
+    if win_zc is not None and zwin and not (
+        0 < zwin * wzc < grid_shape[2]
+    ):
         raise ValueError(f"window {zwin}x{win_zc} outside z extent")
     odp, osc, otr = pl.pallas_call(
         functools.partial(

@@ -140,8 +140,13 @@ def _resample_knots(result: kinodynamic.KinoResult, n: int):
     vel = np.asarray(result.vel, np.float64)
     acc = np.asarray(result.acc, np.float64)
     times = np.asarray(result.times, np.float64)
+    # the masked dupes are rotated to the FRONT (kinodynamic.search), so
+    # the real branch starts at the first kept segment's start knot
     seg_keep = times > 1e-6
-    knot_keep = np.concatenate([[True], seg_keep])
+    j0 = int(np.argmax(seg_keep)) if seg_keep.any() else 0
+    knot_keep = np.zeros(len(pos), bool)
+    knot_keep[j0] = True
+    knot_keep[1:][seg_keep] = True
     pos, vel, acc = pos[knot_keep], vel[knot_keep], acc[knot_keep]
     times = times[seg_keep]
     k = len(pos)

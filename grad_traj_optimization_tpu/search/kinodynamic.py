@@ -480,10 +480,19 @@ def search(
 
     _, (knots, accs, ktaus) = jax.lax.scan(fwd, start_state, (us, tds))
 
-    n = max_iters
     pos = jnp.concatenate([start_state[None, :3], knots[:, :3]], axis=0)
     vel = jnp.concatenate([start_state[None, 3:], knots[:, 3:]], axis=0)
     acc = jnp.concatenate([accs, accs[-1:]], axis=0)
+    # the masked post-termination tail (zero-duration duplicates of the
+    # best leaf) sits between the real branch and the goal; rotate it to
+    # the FRONT so the static keep-the-LAST trim below always discards
+    # dupes before real knots (a traced roll — the dupe count depends on
+    # best_it)
+    n_masked = max_iters - 1 - best_it  # iterations after the best leaf
+    pos = jnp.roll(pos, n_masked, axis=0)
+    vel = jnp.roll(vel, n_masked, axis=0)
+    acc = jnp.roll(acc, n_masked, axis=0)
+    ktaus = jnp.roll(ktaus, n_masked, axis=0)
     # append the one-shot goal knot
     pos = jnp.concatenate([pos, goal_state[None, :3]], axis=0)
     vel = jnp.concatenate([vel, goal_state[None, 3:]], axis=0)
@@ -492,7 +501,8 @@ def search(
         [ktaus, jnp.maximum(t_shot_best, 1e-2)[None]], axis=0
     )
 
-    # trim/pad to max_knots (static): keep the LAST max_knots knots
+    # trim/pad to max_knots (static): keep the LAST max_knots knots —
+    # after the roll these are the real branch suffix + the goal
     k = pos.shape[0]
     if k > max_knots:
         pos = pos[k - max_knots :]

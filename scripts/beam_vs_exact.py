@@ -45,63 +45,10 @@ def _force_cpu():
 
 def make_case(rng, map_cfg=None):
     """One random search problem: pillars + a gap wall, start/goal in
-    free space on opposite sides of the wall."""
-    import jax.numpy as jnp
+    free space on opposite sides of the wall (fixtures.random_search_case)."""
+    from grad_traj_optimization_tpu import fixtures
 
-    from grad_traj_optimization_tpu.config import MapConfig
-    from grad_traj_optimization_tpu.fields import sdf
-
-    if map_cfg is None:
-        map_cfg = MapConfig(
-            origin=(-8.0, -8.0, 0.0), resolution=0.25,
-            map_size=(16.0, 16.0, 5.0),
-        )
-    res = map_cfg.resolution
-    pts = []
-    # pillars
-    for _ in range(rng.integers(4, 9)):
-        cx, cy = rng.uniform(-5, 5, size=2)
-        sx, sy = rng.uniform(0.4, 1.4, size=2)
-        for x in np.arange(cx - sx / 2, cx + sx / 2 + 1e-9, res):
-            for y in np.arange(cy - sy / 2, cy + sy / 2 + 1e-9, res):
-                for z in np.arange(0.05, 5.0, res):
-                    pts.append((x, y, z))
-    # wall across y=0 with 1-2 gaps
-    gaps = []
-    for _ in range(rng.integers(1, 3)):
-        gx = rng.uniform(-5, 5)
-        gw = rng.uniform(1.2, 2.0)
-        gaps.append((gx - gw / 2, gx + gw / 2))
-    for x in np.arange(-8.0, 8.0, res):
-        if any(lo < x < hi for lo, hi in gaps):
-            continue
-        for z in np.arange(0.05, 5.0, res):
-            pts.append((x, 0.0, z))
-
-    origin = jnp.asarray(map_cfg.origin, jnp.float32)
-    occ = sdf.rasterize(
-        jnp.asarray(np.asarray(pts), jnp.float32), origin, res,
-        map_cfg.grid_shape,
-    )
-    dist = sdf.edt(occ, res)
-    dist_np = np.asarray(dist)
-
-    def free_point(ylo, yhi):
-        for _ in range(100):
-            p = np.array([
-                rng.uniform(-6, 6), rng.uniform(ylo, yhi),
-                rng.uniform(1.0, 3.5),
-            ])
-            i = np.floor((p - np.asarray(map_cfg.origin)) / res).astype(int)
-            if dist_np[i[0], i[1], i[2]] > 0.6:
-                return p
-        return None
-
-    start = free_point(-6.5, -2.0)
-    goal = free_point(2.0, 6.5)
-    if start is None or goal is None:
-        return None
-    return dist, np.asarray(map_cfg.origin), res, start, goal
+    return fixtures.random_search_case(rng, map_cfg=map_cfg)
 
 
 def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):

@@ -135,6 +135,47 @@ def main():
     n_excluded = int((~keep).sum())  # diverged lanes (either config)
     ratio = ratio[keep]
 
+    # ---- the reference's own demo map (200x200x25 = 1M voxels,
+    # 11 waypoints) through the multi-tile whole-descent kernel:
+    # one shared map, 256 jittered waypoint sets ----
+    opti = {}
+    try:
+        from grad_traj_optimization_tpu import fixtures as fx
+
+        o_cfg, o_obss, o_wp = fx.opti_node_scenario()
+        o_scn = solve_mod.make_scenario(o_wp, o_obss, o_cfg)
+        BO = 256
+        rng = np.random.default_rng(3)
+        o_wps = np.stack([
+            o_wp + np.concatenate(
+                [rng.uniform(-0.3, 0.3, (len(o_wp), 2)),
+                 np.zeros((len(o_wp), 1))], 1,
+            )
+            for _ in range(BO)
+        ])
+        o_sh = solve_mod.Scenario(
+            dist=o_scn.dist[None],
+            origin=jnp.broadcast_to(o_scn.origin, (BO, 3)),
+            resolution=jnp.broadcast_to(o_scn.resolution, (BO,)),
+            waypoints=jnp.asarray(o_wps, jnp.float32),
+        )
+        run_o = lambda: solve_mod.solve_batch(
+            o_sh, cfg=cfg, steps=(2,), record_trace=False
+        )
+        s_o = run_o()
+        sync(s_o)
+        times_o = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sync(run_o())
+            times_o.append(time.perf_counter() - t0)
+        opti = {
+            "opti_node_map_solves_per_s": round(BO / min(times_o), 1),
+            "opti_node_map_n_ok": int(jnp.sum(s_o.status == 0)),
+        }
+    except Exception as e:  # keep the headline line intact
+        opti = {"opti_node_map_error": repr(e)[:120]}
+
     n_ok = int(jnp.sum(sols.status == 0))
     baseline_solves_per_s = 10.0  # reference: ~0.1 s/solve budget
     print(
@@ -167,6 +208,7 @@ def main():
                     float(np.percentile(ratio, 99)), 3
                 ),
                 "turbo_n_excluded": n_excluded,
+                **opti,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -157,6 +157,40 @@ def test_rdp_masked_matches_host():
     assert keep.sum() <= len(host) + 4
 
 
+def test_kino_search_trim_keeps_branch_start():
+    """max_iters + 2 > max_knots: the static trim must discard the
+    masked post-termination dupes, not the real branch prefix (the
+    dupes are rolled to the front before trimming)."""
+    dist, origin, res = _wall_map()
+    start = np.array([0, -3, 2, 0, 0.5, 0], np.float32)
+    goal = np.array([0, 3, 2, 0, 0, 0], np.float32)
+    result = kinodynamic.search(
+        dist, origin, res, start, goal, max_iters=40, beam=32,
+        margin=0.2, max_knots=32,
+    )
+    assert bool(result.reached)
+    times = np.asarray(result.times)
+    pos = np.asarray(result.pos)
+    seg_keep = times > 1e-6
+    j0 = int(np.argmax(seg_keep))
+    knot_keep = np.zeros(len(pos), bool)
+    knot_keep[j0] = True
+    knot_keep[1:][seg_keep] = True
+    kept = pos[knot_keep]
+    # the kept branch starts at the vehicle state (termination fired
+    # well before iteration 40, so the real branch fits max_knots and
+    # nothing real may be trimmed) and ends at the goal
+    np.testing.assert_allclose(kept[0], start[:3], atol=1e-5)
+    np.testing.assert_allclose(kept[-1], goal[:3], atol=1e-5)
+    # consecutive kept knots are connected: each hop's length is
+    # consistent with its duration (no zero-time teleports — the bug
+    # this guards against produced a leaf-to-goal branch missing the
+    # real prefix)
+    step = np.linalg.norm(np.diff(kept, axis=0), axis=1)
+    tk = times[seg_keep]
+    assert (step <= 3.0 * tk + 0.8).all(), (step, tk)
+
+
 def test_beam_vs_exact_gate():
     """SURVEY section-7 parity gate for the front-end consolidation:
     the TPU beam must succeed nearly as often as the exact reference

@@ -132,6 +132,82 @@ def run_case(
     )
 
 
+def run_suite_batched(
+    cases,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    rdp_epsilon: float = 0.4,
+    clearance: float = 0.4,
+    steps=(2,),
+    n_waypoints: int = 6,
+    out_path: str | None = None,
+):
+    """Run a suite with ONE batched back-end solve.
+
+    The per-case front-end (wavefront + RDP) stays a host loop, but all
+    back-end refinements stack into a single ``solve_batch`` — the
+    framework's native shape.  Cases must share one grid shape; RDP
+    waypoints are arc-length resampled to ``n_waypoints`` so the batch
+    is rectangular.  ``backend_time_s`` in each record is the batch
+    wall time amortized per case (the honest per-case number for a
+    throughput-oriented deployment; use :func:`run_case` for isolated
+    latencies).
+    """
+    t_fronts, wps, dists, origins, ress = [], [], [], [], []
+    for dist_grid, origin, resolution, start, goal in cases:
+        origin = jnp.asarray(origin, jnp.float32)
+        t0 = time.perf_counter()
+        plan = grid_search.plan(
+            dist_grid, origin, resolution, np.asarray(start),
+            np.asarray(goal), clearance=clearance,
+        )
+        jax.block_until_ready(plan.path)
+        t_fronts.append(time.perf_counter() - t0)
+        n = int(plan.length)
+        path = np.asarray(plan.path)[: max(n, 2)]
+        waypoints = rdp.simplify(path, rdp_epsilon)
+        if len(waypoints) < 3:
+            waypoints = np.stack(
+                [path[0], 0.5 * (path[0] + path[-1]), path[-1]]
+            )
+        wps.append(_resample_polyline(waypoints, n_waypoints))
+        dists.append(dist_grid)
+        origins.append(np.asarray(origin))
+        ress.append(float(resolution))
+
+    batch = solve_mod.Scenario(
+        dist=jnp.stack(dists),
+        origin=jnp.asarray(np.stack(origins), jnp.float32),
+        resolution=jnp.asarray(np.asarray(ress), jnp.float32),
+        waypoints=jnp.asarray(np.stack(wps), jnp.float32),
+    )
+    t0 = time.perf_counter()
+    sols = solve_mod.solve_batch(
+        batch, cfg=cfg, steps=steps, record_trace=True
+    )
+    jax.block_until_ready(sols)
+    t_back = (time.perf_counter() - t0) / max(len(cases), 1)
+
+    records = []
+    for i in range(len(cases)):
+        sol = jax.tree.map(lambda x: x[i], sols)
+        rec = CaseRecord(
+            case_id=i,
+            frontend_time_s=t_fronts[i],
+            backend_time_s=t_back,
+            traj_time_s=float(jnp.sum(sol.T)),
+            traj_length_m=float(poly.length(sol.coeff, sol.T)),
+            acc_cost=float(poly.acc_cost(sol.coeff, sol.T)),
+            jerk=float(poly.jerk_cost(sol.coeff, sol.T)),
+            cost_curve=list(np.asarray(sol.cost_trace)),
+            status=int(sol.status),
+        )
+        records.append(rec)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(rec.to_json() + "\n")
+    return records
+
+
 def run_suite(cases, out_path: str | None = None, **kwargs):
     """Run a list of (dist, origin, resolution, start, goal) cases.
 

@@ -65,18 +65,20 @@ def main():
     # quadrature (mxu lookup — one evaluation, cost negligible)
     import functools
 
+    # grids/waypoints MUST be traced args, not closure constants — a
+    # closure bakes them into the HLO and overflows the tunnel's
+    # remote-compile request limit (HTTP 413; see CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def rescore(dp_b, cfg):
+    def rescore(dp_b, sc, cfg):
         from grad_traj_optimization_tpu.core import qp
 
-        wp_b = scns.waypoints
         T_b = jax.vmap(
             lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time)
-        )(wp_b)
-        Df_b, _ = jax.vmap(qp.straight_line_d)(wp_b)
+        )(sc.waypoints)
+        Df_b, _ = jax.vmap(qp.straight_line_d)(sc.waypoints)
         bctx = penalty.build_ctx_batch(T_b, Df_b, cfg)
         c, _ = penalty.cost_and_grad_batch(
-            dp_b, bctx, scns.dist, scns.origin, scns.resolution,
+            dp_b, bctx, sc.dist, sc.origin, sc.resolution,
             dataclasses.replace(cfg, lookup_mode="mxu"), step=2,
         )
         return c
@@ -94,7 +96,7 @@ def main():
             t0 = time.perf_counter()
             _ = float(jnp.sum(run().cost))
             ts.append(time.perf_counter() - t0)
-        c30 = np.asarray(rescore(s.dp, base_cfg))
+        c30 = np.asarray(rescore(s.dp, scns, base_cfg))
         results[ns] = (min(ts), c30, np.asarray(s.status))
         line = {
             "n_samples": ns,

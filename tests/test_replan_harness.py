@@ -170,6 +170,36 @@ def test_harness_suite_and_summary(tmp_path):
     assert len(lines) == 2
 
 
+def test_run_suite_batched_matches_per_case(tmp_path):
+    """The batched suite (one solve_batch) produces the same per-case
+    solutions as the per-case runner with the same fixed waypoint
+    count."""
+    dist, origin, res = _wall_map()
+    cases = [
+        (dist, origin, res,
+         np.array([dx, -3.0, 2.0]), np.array([dx, 3.0, 2.0]))
+        for dx in (0.0, 0.25, -0.25)
+    ]
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    cfg = OptimizerConfig(iters_step2=12)
+    rb = harness.run_suite_batched(
+        cases, cfg=cfg, n_waypoints=5,
+        out_path=str(tmp_path / "b.jsonl"),
+    )
+    rs = harness.run_suite(cases, cfg=cfg, n_waypoints=5)
+    assert len(rb) == len(rs) == 3
+    for b, s in zip(rb, rs):
+        assert b.status == s.status == 0
+        np.testing.assert_allclose(b.jerk, s.jerk, rtol=1e-3)
+        np.testing.assert_allclose(b.traj_time_s, s.traj_time_s,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            b.cost_curve[-1], s.cost_curve[-1], rtol=1e-3
+        )
+    assert (tmp_path / "b.jsonl").read_text().count("\n") == 3
+
+
 def test_compare2_log_format(tmp_path):
     dist, origin, res = _wall_map()
     cfg = OptimizerConfig(iters_step2=10)

@@ -621,6 +621,44 @@ def test_nonmonotone_min_snap_matches_float64_oracle():
     assert dev < 1e-3, f"positional deviation {dev} m >= 1e-3"
 
 
+def test_dual_seed_matches_float64_oracle():
+    """seed_mode='dual': the golden oracle now races both seeds with the
+    same budgets (ADVICE round-1 item) — the f32 TURBO-style solve must
+    track it within the parity budget."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=4, iters_step2=15, accept_window=4,
+        seed_mode="dual", dual_ms_iters=8,
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,))
+
+    gm = golden.GoldenSDFMap(
+        map_cfg.origin, map_cfg.resolution, map_cfg.map_size
+    )
+    for p in obss:
+        gm.set_occupancy(p)
+    gm.update_esdf()
+    gopt = golden.GoldenOptimizer(gm, cfg)
+    gopt.setup(wp)
+    _, coeff_g = gopt.optimize(steps=(2,))
+
+    T = np.asarray(sol.T, np.float64)
+    ts = np.linspace(1e-3, T.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(T)
+    pos_g = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(int(np.searchsorted(edges, t, side="right")), len(T) - 1)
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_g[i] = coeff_g[s] @ basis
+    dev = np.abs(pos_j - pos_g).max()
+    assert dev < 1e-3, f"positional deviation {dev} m >= 1e-3"
+
+
 def test_nonmonotone_kernel_matches_reference_path():
     """The whole-descent kernel's nonmonotone branch (interpret mode)
     reproduces descent.minimize_batch decisions."""

@@ -23,7 +23,7 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
-_ABI_VERSION = 2  # must match gtop_abi_version() in gtop_core.cpp
+_ABI_VERSION = 3  # must match gtop_abi_version() in gtop_core.cpp
 
 
 def _stale() -> bool:
@@ -85,6 +85,12 @@ def _load():
         ctypes.c_float, f64p, ctypes.c_int, f64p, f64p, f64p,
     ]
     lib.gtop_solve.restype = ctypes.c_double
+    lib.gtop_solve_batch.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_float, f64p, ctypes.c_int, ctypes.c_int, f64p,
+        f64p, f64p, f64p,
+    ]
+    lib.gtop_solve_batch.restype = None
     _LIB = lib
     return lib
 
@@ -132,6 +138,27 @@ def trilinear(dist, origin, resolution, queries):
     return d, g
 
 
+def _cfg_arr(cfg, steps):
+    """The gtop_solve cfg array (ABI v3, 33 doubles)."""
+    return np.array(
+        [
+            cfg.w_smooth, cfg.w_collision, cfg.alpha, cfg.d0, cfg.r,
+            cfg.bos, cfg.vos, cfg.aos, cfg.mean_v, cfg.init_time,
+            cfg.lr0, cfg.lr_grow, cfg.lr_shrink, cfg.lr_min, cfg.lr_max,
+            cfg.n_samples, cfg.iters_step1, cfg.iters_step2, sum(steps),
+            cfg.cost_eps, cfg.grad_eps, cfg.vel_eps, cfg.t_offset,
+            1.0 if getattr(cfg, "step_rule", "adaptive") == "bb" else 0.0,
+            float(getattr(cfg, "accept_window", 1)),
+            {"reference": 0.0, "min_snap": 1.0, "dual": 2.0}[
+                getattr(cfg, "seed_mode", "reference")
+            ],
+            float(getattr(cfg, "dual_ms_iters", 0)),
+            cfg.alpha_v, cfg.v0, cfg.r_v, cfg.alpha_a, cfg.a0, cfg.r_a,
+        ],
+        dtype=np.float64,
+    )
+
+
 def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
     """Deterministic double-precision solve, same algorithm as solver.py.
 
@@ -146,24 +173,7 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
     wp = np.ascontiguousarray(waypoints, dtype=np.float64)
     n_wp = len(wp)
     m = n_wp - 1
-    steps_mask = sum(steps)
-    cfg_arr = np.array(
-        [
-            cfg.w_smooth, cfg.w_collision, cfg.alpha, cfg.d0, cfg.r,
-            cfg.bos, cfg.vos, cfg.aos, cfg.mean_v, cfg.init_time,
-            cfg.lr0, cfg.lr_grow, cfg.lr_shrink, cfg.lr_min, cfg.lr_max,
-            cfg.n_samples, cfg.iters_step1, cfg.iters_step2, steps_mask,
-            cfg.cost_eps, cfg.grad_eps, cfg.vel_eps, cfg.t_offset,
-            1.0 if getattr(cfg, "step_rule", "adaptive") == "bb" else 0.0,
-            float(getattr(cfg, "accept_window", 1)),
-            {"reference": 0.0, "min_snap": 1.0, "dual": 2.0}[
-                getattr(cfg, "seed_mode", "reference")
-            ],
-            float(getattr(cfg, "dual_ms_iters", 0)),
-            cfg.alpha_v, cfg.v0, cfg.r_v, cfg.alpha_a, cfg.a0, cfg.r_a,
-        ],
-        dtype=np.float64,
-    )
+    cfg_arr = _cfg_arr(cfg, steps)
     coeff = np.empty((m, 3, 6), np.float64)
     times = np.empty(m, np.float64)
     nx, ny, nz = dist.shape
@@ -172,6 +182,41 @@ def solve(dist, origin, resolution, waypoints, cfg, steps=(2,)):
         n_wp, _f64p(cfg_arr), _f64p(coeff), _f64p(times),
     )
     return coeff, times, cost
+
+
+def solve_batch(dist, origin, resolution, waypoints, cfg, steps=(2,)):
+    """Threaded batched host solve (one thread pool over scenarios).
+
+    The host-engine counterpart of solver.solve_batch: ``dist`` is
+    either (B, nx, ny, nz) per-scenario grids or (1, nx, ny, nz) /
+    (nx, ny, nz) for one shared map; ``waypoints`` is (B, n_wp, 3).
+    Returns (coeff (B, m, 3, 6) float64, times (B, m), costs (B,)).
+    Outputs are bitwise-identical to per-case :func:`solve` calls
+    (gtop_solve is reentrant — deliberately unlike the reference's
+    file-scope-stateful TrajectoryGenerator, SURVEY.md quirk 6).
+    """
+    lib = _load()
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    if dist.ndim == 3:
+        dist = dist[None]
+    wp = np.ascontiguousarray(waypoints, dtype=np.float64)
+    B, n_wp = wp.shape[0], wp.shape[1]
+    n_grids = dist.shape[0]
+    if n_grids not in (1, B):
+        raise ValueError(f"dist batch {n_grids} != 1 or {B}")
+    m = n_wp - 1
+    origin32 = np.ascontiguousarray(origin, dtype=np.float32)
+    cfg_arr = _cfg_arr(cfg, steps)
+    coeff = np.empty((B, m, 3, 6), np.float64)
+    times = np.empty((B, m), np.float64)
+    costs = np.empty(B, np.float64)
+    nx, ny, nz = dist.shape[1:]
+    lib.gtop_solve_batch(
+        _f32p(dist), n_grids, nx, ny, nz, _f32p(origin32), resolution,
+        _f64p(wp), n_wp, B, _f64p(cfg_arr), _f64p(coeff), _f64p(times),
+        _f64p(costs),
+    )
+    return coeff, times, costs
 
 
 def kino_search(

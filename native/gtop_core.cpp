@@ -88,8 +88,8 @@ inline int64_t flat(int x, int y, int z, int ny, int nz) {
 extern "C" {
 
 // cfg-array ABI version of gtop_solve (bump when cfg fields are added
-// so stale .so files fail loudly instead of ignoring new fields)
-int gtop_abi_version() { return 2; }
+// or entry points change so stale .so files fail loudly)
+int gtop_abi_version() { return 3; }
 
 // Exact unsigned EDT of an occupancy grid (x-major layout, matching the
 // reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
@@ -739,6 +739,33 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
       }
   for (int s = 0; s < m; ++s) out_times[s] = T[s];
   return final_cost;
+}
+
+// Threaded batch solve: `batch` waypoint sets against per-scenario
+// grids (n_grids == batch) or ONE shared grid (n_grids == 1 — the
+// reference's own one-map-many-queries shape, opti_node.cpp:60-97).
+// gtop_solve is reentrant (no file-scope state — deliberately unlike
+// the reference's TrajectoryGenerator, SURVEY.md quirk 6), so scenarios
+// simply fan out over hardware threads.  Layouts: waypoints
+// (batch, n_wp, 3); out_coeff (batch, m, 3, 6); out_times (batch, m);
+// out_costs (batch).
+void gtop_solve_batch(const float* dist, int n_grids, int nx, int ny,
+                      int nz, const float* origin, float resolution,
+                      const double* waypoints, int n_wp, int batch,
+                      const double* cfg_arr, double* out_coeff,
+                      double* out_times, double* out_costs) {
+  const int m = n_wp - 1;
+  const int64_t nvox = int64_t(nx) * ny * nz;
+  parallel_for(batch, [&](int lo, int hi) {
+    for (int b = lo; b < hi; ++b) {
+      const float* dist_b = dist + (n_grids == 1 ? 0 : int64_t(b) * nvox);
+      out_costs[b] = gtop_solve(
+          dist_b, nx, ny, nz, origin, resolution,
+          waypoints + int64_t(b) * n_wp * 3, n_wp, cfg_arr,
+          out_coeff + int64_t(b) * m * 3 * 6,
+          out_times + int64_t(b) * m);
+    }
+  });
 }
 
 }  // extern "C"

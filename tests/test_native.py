@@ -141,6 +141,53 @@ def test_native_solve_va_penalties_match_jax():
     assert abs(cost_off - cost_n) / max(abs(cost_n), 1.0) > 1e-4
 
 
+def test_native_solve_batch_matches_per_case():
+    """The threaded batch entry returns bitwise the per-case results
+    (gtop_solve is reentrant), for shared and per-scenario grids."""
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25, map_size=(10.0, 10.0, 4.0)
+    )
+    pts = np.array(
+        [(x, 0.0, z)
+         for x in np.arange(-2, 2, 0.25)
+         for z in np.arange(0.1, 4, 0.25) if abs(x) > 0.6]
+    )
+    scn = solve_mod.make_scenario(
+        np.array([[0.0, -3, 2], [0, 3, 2]]), pts, map_cfg
+    )
+    dist = np.asarray(scn.dist)
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [[0.0, -3, 2], [0.3, -1.5, 2], [0, 0, 2], [-0.3, 1.5, 2],
+         [0, 3, 2]]
+    )
+    B = 4
+    wps = np.stack([
+        base + np.concatenate(
+            [rng.uniform(-0.1, 0.1, (5, 2)), np.zeros((5, 1))], 1
+        )
+        for _ in range(B)
+    ])
+    cfg = OptimizerConfig(iters_step2=10)
+    cb, tb, costb = native.solve_batch(
+        dist, map_cfg.origin, 0.25, wps, cfg
+    )
+    for b in range(B):
+        c1, t1, cost1 = native.solve(
+            dist, map_cfg.origin, 0.25, wps[b], cfg
+        )
+        np.testing.assert_array_equal(c1, cb[b])
+        np.testing.assert_array_equal(t1, tb[b])
+        assert cost1 == costb[b]
+    # per-scenario grids give the same results when the grids are equal
+    cb2, _, costb2 = native.solve_batch(
+        np.broadcast_to(dist, (B,) + dist.shape).copy(),
+        map_cfg.origin, 0.25, wps, cfg,
+    )
+    np.testing.assert_array_equal(cb, cb2)
+    np.testing.assert_array_equal(costb, costb2)
+
+
 def test_native_solve_m1_no_free_vars():
     map_cfg = MapConfig(
         origin=(-5.0, -5.0, 0.0), resolution=0.5, map_size=(10.0, 10.0, 4.0)

@@ -11,6 +11,13 @@ import dataclasses
 import json
 import time
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 

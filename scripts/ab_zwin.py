@@ -8,6 +8,13 @@ the full-depth path.  One JSON line per arm.  Run on the real chip.
 import json
 import time
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 

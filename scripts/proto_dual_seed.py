@@ -17,6 +17,13 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 from proto_descent_variants import variant_minimize

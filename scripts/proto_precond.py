@@ -21,6 +21,13 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 

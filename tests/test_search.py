@@ -197,7 +197,7 @@ def test_beam_vs_exact_gate():
     A* (native host port) and seed final optimized trajectories of
     comparable cost.  Conservative thresholds; the recorded 100-case
     suite (BEAM_VS_EXACT.md, scripts/beam_vs_exact.py) measured
-    95/100 beam success, refined-cost geomean 0.95, time ratio 1.00."""
+    96/100 beam success, refined-cost geomean 0.98, time ratio 1.01."""
     import pytest
 
     from grad_traj_optimization_tpu import native

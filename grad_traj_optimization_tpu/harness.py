@@ -39,11 +39,56 @@ class CaseRecord:
     jerk: float                 # back-end metric (polynomial_traj:108-138)
     cost_curve: list            # monotone best-cost envelope
     status: int
+    frontend_ok: bool = True    # a search connected start to goal
+    via_fallback: bool = False  # grid search failed; exact host A* used
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["cost_curve"] = [round(float(x), 6) for x in self.cost_curve]
         return json.dumps(d)
+
+
+def _search_front(dist_grid, origin, resolution, start, goal, clearance):
+    """Front-end search with exact-host-A* fallback.
+
+    Runs the jitted wavefront search (grid_search.plan); when it reports
+    no connection (e.g. the clearance threshold seals a gap the
+    kinodynamic expansion could thread), retries with the exact host
+    kinodynamic A* (native.kino_search, the faithful reference
+    algorithm, kinodynamic_astar.cpp:17-315) instead of optimizing a
+    garbage polyline.  Returns (path (N,3), t_front_s, ok, via_fallback).
+    """
+    t0 = time.perf_counter()
+    plan = grid_search.plan(
+        dist_grid, origin, resolution, np.asarray(start),
+        np.asarray(goal), clearance=clearance,
+    )
+    jax.block_until_ready(plan.path)
+    ok = bool(plan.reached)
+    via_fallback = False
+    path = np.asarray(plan.path)[: max(int(plan.length), 2)]
+    if not ok:
+        from grad_traj_optimization_tpu import native
+
+        if native.available():
+            s6 = np.concatenate([np.asarray(start, np.float64), np.zeros(3)])
+            g6 = np.concatenate([np.asarray(goal, np.float64), np.zeros(3)])
+            fpos, _, _, ftimes, freached = native.kino_search(
+                np.asarray(dist_grid, np.float32),
+                np.asarray(origin, np.float32), float(resolution),
+                s6, g6, margin=clearance / 2.0,
+            )
+            if freached and len(fpos) >= 2:
+                ok = via_fallback = True
+                path = np.asarray(fpos, np.float64)
+    t_front = time.perf_counter() - t0
+    if not ok:
+        # both searches failed: degrade to the straight chord so the
+        # record still carries a solve (status reports the truth)
+        path = np.stack(
+            [np.asarray(start, np.float64), np.asarray(goal, np.float64)]
+        )
+    return path, t_front, ok, via_fallback
 
 
 def _resample_polyline(pts, n):
@@ -86,16 +131,9 @@ def run_case(
     """
     origin = jnp.asarray(origin, jnp.float32)
 
-    t0 = time.perf_counter()
-    plan = grid_search.plan(
-        dist_grid, origin, resolution, np.asarray(start),
-        np.asarray(goal), clearance=clearance,
+    path, t_front, front_ok, via_fallback = _search_front(
+        dist_grid, origin, resolution, start, goal, clearance
     )
-    jax.block_until_ready(plan.path)
-    t_front = time.perf_counter() - t0
-
-    n = int(plan.length)
-    path = np.asarray(plan.path)[: max(n, 2)]
     waypoints = rdp.simplify(path, rdp_epsilon)
     if len(waypoints) < 3:
         waypoints = np.stack(
@@ -129,6 +167,8 @@ def run_case(
         jerk=float(poly.jerk_cost(sol.coeff, sol.T)),
         cost_curve=list(np.asarray(sol.cost_trace)),
         status=int(sol.status),
+        frontend_ok=front_ok,
+        via_fallback=via_fallback,
     )
 
 
@@ -153,17 +193,15 @@ def run_suite_batched(
     latencies).
     """
     t_fronts, wps, dists, origins, ress = [], [], [], [], []
+    front_oks, fallbacks = [], []
     for dist_grid, origin, resolution, start, goal in cases:
         origin = jnp.asarray(origin, jnp.float32)
-        t0 = time.perf_counter()
-        plan = grid_search.plan(
-            dist_grid, origin, resolution, np.asarray(start),
-            np.asarray(goal), clearance=clearance,
+        path, t_front, front_ok, via_fallback = _search_front(
+            dist_grid, origin, resolution, start, goal, clearance
         )
-        jax.block_until_ready(plan.path)
-        t_fronts.append(time.perf_counter() - t0)
-        n = int(plan.length)
-        path = np.asarray(plan.path)[: max(n, 2)]
+        t_fronts.append(t_front)
+        front_oks.append(front_ok)
+        fallbacks.append(via_fallback)
         waypoints = rdp.simplify(path, rdp_epsilon)
         if len(waypoints) < 3:
             waypoints = np.stack(
@@ -200,6 +238,8 @@ def run_suite_batched(
             jerk=float(poly.jerk_cost(sol.coeff, sol.T)),
             cost_curve=list(np.asarray(sol.cost_trace)),
             status=int(sol.status),
+            frontend_ok=front_oks[i],
+            via_fallback=fallbacks[i],
         )
         records.append(rec)
         if out_path:
@@ -234,6 +274,8 @@ def summarize(records):
     return {
         "n_cases": len(records),
         "n_ok": sum(1 for r in records if r.status == 0),
+        "n_frontend_ok": sum(1 for r in records if r.frontend_ok),
+        "n_via_fallback": sum(1 for r in records if r.via_fallback),
         "frontend_p50_ms": pct(fe, 50) * 1e3,
         "frontend_p95_ms": pct(fe, 95) * 1e3,
         "backend_p50_ms": pct(be, 50) * 1e3,

@@ -51,6 +51,13 @@ class ReplanConfig:
     kino_iters: int = 16
     kino_beam: int = 64
     n_waypoints: int = 6          # knots passed to the back-end
+    # On beam NO_PATH, retry with the exact host kinodynamic A*
+    # (native.kino_search — the faithful reference algorithm,
+    # kinodynamic_astar.cpp:17-315) before giving up and hovering.
+    # The exact search validates against the STATIC field only; ticks
+    # with moving obstacles still re-check dynamic clearance after
+    # refinement like every other tick.
+    fallback_exact: bool = True
 
 
 @dataclasses.dataclass
@@ -61,6 +68,7 @@ class TickResult:
     reached_goal: bool
     search_ok: bool
     min_clearance: float
+    via_fallback: bool = False    # beam failed; exact host A* seeded
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps"))
@@ -129,17 +137,17 @@ def _clearance_dynamic(dist_grid, origin, resolution, samples, ts, pred):
     )
 
 
-def _resample_knots(result: kinodynamic.KinoResult, n: int):
-    """Downsample the search branch to n knots (keeping ends).
+def _resample_knots(pos, vel, acc, times, n: int):
+    """Downsample a search branch's knots to n (keeping ends).
 
     Zero-duration segments are the beam's masked post-termination tail
     (see kinodynamic.search early-termination tracking) — dropped here
     along with their duplicate knots.
     """
-    pos = np.asarray(result.pos, np.float64)
-    vel = np.asarray(result.vel, np.float64)
-    acc = np.asarray(result.acc, np.float64)
-    times = np.asarray(result.times, np.float64)
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    acc = np.asarray(acc, np.float64)
+    times = np.asarray(times, np.float64)
     # the masked dupes are rotated to the FRONT (kinodynamic.search), so
     # the real branch starts at the first kept segment's start knot
     seg_keep = times > 1e-6
@@ -256,6 +264,28 @@ def replan_loop(
             beam=rcfg.kino_beam,
         )
         search_ok = bool(kres.reached)
+        via_fallback = False
+        knots = (kres.pos, kres.vel, kres.acc, kres.times)
+
+        if not search_ok and rcfg.fallback_exact:
+            # the beam is a fixed-iteration approximation and can miss
+            # narrow passages the exact search threads; retry with the
+            # faithful host A* before declaring NO_PATH
+            from grad_traj_optimization_tpu import native
+
+            if native.available():
+                fpos, fvel, facc, ftimes, freached = native.kino_search(
+                    np.asarray(dist_grid, np.float32),
+                    np.asarray(origin, np.float32),
+                    float(resolution),
+                    state, tgt,
+                    max_acc=rcfg.max_acc, max_vel=rcfg.max_vel,
+                    margin=rcfg.margin,
+                )
+                if freached and len(ftimes) >= 1:
+                    search_ok = True
+                    via_fallback = True
+                    knots = (fpos, fvel, facc, ftimes)
 
         if not search_ok:
             # NO_PATH this tick (reference kinodynamic_astar.cpp:278-313
@@ -287,7 +317,7 @@ def replan_loop(
             continue
 
         # 3. refine
-        pos, vel, acc, times = _resample_knots(kres, rcfg.n_waypoints)
+        pos, vel, acc, times = _resample_knots(*knots, rcfg.n_waypoints)
         coeff, T = _refine_kino(
             dist_grid, origin, resolution, pos, vel, acc, times, ocfg
         )
@@ -326,6 +356,7 @@ def replan_loop(
                 ),
                 search_ok=search_ok,
                 min_clearance=dmin,
+                via_fallback=via_fallback,
             )
         )
         if results[-1].reached_goal:

@@ -61,7 +61,7 @@ def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
     from grad_traj_optimization_tpu import replan
 
     pos, vel, acc, times = replan._resample_knots(
-        _KRES(pos, vel, acc, times), 6
+        pos, vel, acc, times, 6
     )
     T = jnp.asarray(times, jnp.float32)
     Df, dp0 = qp.kino_d(
@@ -90,11 +90,6 @@ def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
         float(r.cost), float(np.sum(times)),
         float(poly.jerk_cost(coeff, T)),
     )
-
-
-class _KRES:
-    def __init__(self, pos, vel, acc, times):
-        self.pos, self.vel, self.acc, self.times = pos, vel, acc, times
 
 
 def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,

@@ -172,6 +172,76 @@ def run_case(
     )
 
 
+def run_case_rrt(
+    case_id,
+    dist_grid,
+    origin,
+    resolution,
+    start,
+    goal,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    rdp_epsilon: float = 0.4,
+    rrt_iters: int = 2000,
+    seed: int = 0,
+    steps=(2,),
+    min_bos: float = 0.3,
+) -> CaseRecord:
+    """RRT* front-end with corridor-bounded back-end refinement.
+
+    The reference pipeline this rebuilds: rrtPathFinder produces
+    waypoints + per-node safe-ball radii (path_finder.cpp:806-887);
+    the corridor drives the optimizer's per-waypoint position bounds
+    (penalty.bounds ``bos``) instead of the scalar ``cfg.bos``, so the
+    refined trajectory's interior waypoints stay in the safe tube the
+    search certified.  Raises if the RRT* cannot reach the goal
+    (sampling search has no meaningful partial result to refine).
+    """
+    from grad_traj_optimization_tpu.search import rrt
+
+    origin = jnp.asarray(origin, jnp.float32)
+    t0 = time.perf_counter()
+    res_rrt = rrt.plan(
+        np.asarray(dist_grid), np.asarray(origin), float(resolution),
+        np.asarray(start, np.float64), np.asarray(goal, np.float64),
+        max_iters=rrt_iters, seed=seed,
+    )
+    if not res_rrt.reached:
+        raise RuntimeError(
+            f"RRT* failed to reach the goal in {rrt_iters} iterations"
+        )
+    waypoints, bos_wp = rrt.corridor_waypoints(
+        res_rrt, rdp_epsilon, min_bos=min_bos
+    )
+    t_front = time.perf_counter() - t0
+
+    scn = solve_mod.Scenario(
+        dist=dist_grid,
+        origin=origin,
+        resolution=jnp.asarray(resolution, jnp.float32),
+        waypoints=jnp.asarray(waypoints, jnp.float32),
+    )
+    t0 = time.perf_counter()
+    sol = solve_mod.solve(
+        scn, cfg=cfg, steps=steps, record_trace=True,
+        bos_wp=jnp.asarray(bos_wp, jnp.float32),
+    )
+    jax.block_until_ready(sol)
+    t_back = time.perf_counter() - t0
+
+    return CaseRecord(
+        case_id=case_id,
+        frontend_time_s=t_front,
+        backend_time_s=t_back,
+        traj_time_s=float(jnp.sum(sol.T)),
+        traj_length_m=float(poly.length(sol.coeff, sol.T)),
+        acc_cost=float(poly.acc_cost(sol.coeff, sol.T)),
+        jerk=float(poly.jerk_cost(sol.coeff, sol.T)),
+        cost_curve=list(np.asarray(sol.cost_trace)),
+        status=int(sol.status),
+        frontend_ok=True,
+    )
+
+
 def run_suite_batched(
     cases,
     cfg: OptimizerConfig = OptimizerConfig(),

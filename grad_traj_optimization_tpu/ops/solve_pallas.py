@@ -109,13 +109,36 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     oz = misc[0, 2:3]
     r = misc[0, 3]
     inv_res = 1.0 / r
+    # exact-crop frame (solver.crop_scenarios): the grid block is a
+    # [off, off+n) cell window of a larger map whose origin ``o`` is
+    # UNCHANGED — all index/fraction arithmetic below stays in the
+    # GLOBAL frame (bitwise-identical floor/frac splits to the full
+    # map) and only the one-hot lane selection subtracts the integer
+    # offset.  off = 0 / full = n (the default) reproduces the uncropped
+    # arithmetic bitwise.
+    offx = misc[0, 5]
+    offy = misc[0, 6]
+    offz = misc[0, 7]
+    nxf = misc[0, 8]   # FULL-map extents (cells, float-encoded ints)
+    nyf = misc[0, 9]
+    nzf = misc[0, 10]
 
     sp = pos.shape[0]  # padded sample rows (8-aligned; default SP)
     px, py, pz = pos[:, 0:1], pos[:, 1:2], pos[:, 2:3]
+
+    def win_ok(p, o1, off, ncrop, nfull):
+        # in-window test: the reference's 1e-4 margin on TRUE map faces
+        # (sdf_map.cpp:55-69); interior crop faces take a HALF-CELL
+        # margin so every in-window sample's interpolation corners stay
+        # inside the window (the trilinear stencil reaches +-res/2).
+        mlo = jnp.where(off == 0.0, 1e-4, 0.5 * r)
+        mhi = jnp.where(off + ncrop == nfull, 1e-4, 0.5 * r)
+        return (p > o1 + off * r + mlo) & (p < o1 + (off + ncrop) * r - mhi)
+
     ok = (
-        (px > ox + 1e-4) & (px < ox + nx * r - 1e-4)
-        & (py > oy + 1e-4) & (py < oy + ny * r - 1e-4)
-        & (pz > oz + 1e-4) & (pz < oz + nz * r - 1e-4)
+        win_ok(px, ox, offx, nx, nxf)
+        & win_ok(py, oy, offy, ny, nyf)
+        & win_ok(pz, oz, offz, nz, nzf)
     )  # (SP, 1)
 
     def idx_frac(p, o1):
@@ -127,15 +150,25 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     ix, fxq = idx_frac(px, ox)
     iy, fyq = idx_frac(py, oy)
     iz, fzq = idx_frac(pz, oz)
+    offxi = offx.astype(jnp.int32)
+    offyi = offy.astype(jnp.int32)
+    offzi = offz.astype(jnp.int32)
+    nxfi = nxf.astype(jnp.int32)
+    nyfi = nyf.astype(jnp.int32)
+    nzfi = nzf.astype(jnp.int32)
 
-    def hots(i, n, n_lanes):
+    def hots(i, nfi, offi, n_lanes):
+        # corner clamping against the FULL map (reference getDistance
+        # clamp, sdf_map.cpp:166-174), then window-local lane selection
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sp, n_lanes), 1)
-        h0 = (lanes == jnp.clip(i, 0, n - 1)).astype(jnp.float32)
-        h1 = (lanes == jnp.clip(i + 1, 0, n - 1)).astype(jnp.float32)
+        h0 = (lanes == jnp.clip(i, 0, nfi - 1) - offi).astype(jnp.float32)
+        h1 = (
+            lanes == jnp.clip(i + 1, 0, nfi - 1) - offi
+        ).astype(jnp.float32)
         return h0, h1
 
-    h0x, h1x = hots(ix, nx, npx)
-    h0y, h1y = hots(iy, ny, npy)
+    h0x, h1x = hots(ix, nxfi, offxi, npx)
+    h0y, h1y = hots(iy, nyfi, offyi, npy)
 
     # stacked bf16 one-hot rows, tiled per grid plane (hi, mid[, lo])
     wx = jnp.concatenate([h0x, h1x], axis=0).astype(jnp.bfloat16)
@@ -143,16 +176,16 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     wyn = (h0y * (1.0 - fyq) + h1y * fyq)[:, None, :]  # (SP, 1, NP)
     wyd = ((h1y - h0y) * inv_res)[:, None, :]
 
+    # crop-local z corner cells (full-map clamp, window-local index)
+    izc0 = jnp.clip(iz, 0, nzfi - 1) - offzi
+    izc1 = jnp.clip(iz + 1, 0, nzfi - 1) - offzi
+
     def z_lookup(z0, ncell, chunk):
         """Lookup over ncell z-cells starting at (traced) cell z0."""
         # one-hot of the ABSOLUTE-clamped corner cells, window-relative
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sp, ncell), 1)
-        h0z = (lanes == jnp.clip(iz, 0, nz - 1) - z0).astype(
-            jnp.float32
-        )
-        h1z = (lanes == jnp.clip(iz + 1, 0, nz - 1) - z0).astype(
-            jnp.float32
-        )
+        h0z = (lanes == izc0 - z0).astype(jnp.float32)
+        h1z = (lanes == izc1 - z0).astype(jnp.float32)
         wznt = h0z * (1.0 - fzq) + h1z * fzq  # (SP, ncell)
         wzdt = (h1z - h0z) * inv_res
         return tp.lookup_core(
@@ -168,8 +201,6 @@ def _lookup(grid_ref, pos, misc, grid_shape, nzp, zc,
     else:
         # band of z-corner cells over VALID samples (padded rows would
         # otherwise drag the window to their garbage positions)
-        izc0 = jnp.clip(iz, 0, nz - 1)
-        izc1 = jnp.clip(iz + 1, 0, nz - 1)
         big = jnp.int32(1 << 20)
         lo = jnp.min(jnp.where(valid, izc0, big))
         hi = jnp.max(jnp.where(valid, izc1, -big))
@@ -248,7 +279,8 @@ def _solve_kernel(grid_shape, nzp, zc, phases, cfg, ablate, zwin,
     ubT = ubT_ref[0]
     dfT = dfT_ref[0]    # (6, 3)
     dts = dts_ref[0]    # (SP, 1), zero on padded sample rows
-    misc = misc_ref[0]  # (1, 8): [ox, oy, oz, res, c_ff, 0, 0, 0]
+    misc = misc_ref[0]  # (1, 16): [origin, res, c_ff, crop off (3),
+    #                                 full extents (3), 0 pad]
     c_ff = misc[0, 4]
 
     ref_grad = cfg.gradient_mode == "reference"
@@ -502,7 +534,10 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         cfg.alpha_a != 0 (acceleration-penalty chain).
       rpp: (B, P, P); cgt: (B, P, 3) = 2 (Df @ Rfp)^T; lbT/ubT/dp0T:
         (B, P, 3); dts: (B, SP, 1) per-sample dt (zero on pads);
-      dfT: (B, 6, 3); misc: (B, 1, 8) = [origin, res, c_ff, 0...].
+      dfT: (B, 6, 3); misc: (B, 1, 16) = [origin, res, c_ff,
+        crop cell offset (3), full-map extents (3), 0 pad] — offset
+        0 / full = grid_shape for uncropped scenarios (see
+        solver.crop_scenarios for the exact-crop frame).
       aacc: (B, SP, ndim) acceleration sampling chain, or None when
         cfg.alpha_a == 0 (the velocity penalty needs no extra chain).
       phases: tuple of (step, iters), e.g. ((2, 100),) or
@@ -566,7 +601,7 @@ def descend_fused(gp, grid_shape, apos, avel, tltv, rpp, cgt,
         spec((P, 3)),
         spec((sp, 1)),
         spec((6, 3)),
-        spec((1, 8)),
+        spec((1, 16)),
     ]
     operands = (
         gp, apos, avel, *([aacc] if use_a else []), tltv, rpp, cgt,

@@ -292,12 +292,19 @@ def cost_only(dp, ctx: PenaltyCtx, field: Field, grid_shape,
     return cost
 
 
-def bounds(waypoints, num_dp: int, cfg: OptimizerConfig, dtype=jnp.float32):
+def bounds(waypoints, num_dp: int, cfg: OptimizerConfig, dtype=jnp.float32,
+           bos=None):
     """Box bounds on dp, axis-major (3, num_dp).
 
     Reference: grad_traj_optimizer.cpp:154-177 — position slots bounded
     within +-bos of the corresponding *initial interior waypoint*, velocity
     slots +-vos, acceleration slots +-aos.
+
+    ``bos`` optionally overrides the scalar ``cfg.bos`` with a
+    per-interior-waypoint half-width array (n_int,) — the consumer of a
+    search corridor (e.g. RRT* safe-ball radii, the reference's
+    path_finder.cpp:806-887 output) sets each waypoint's position box to
+    its clearance radius so the optimum stays inside the safe tube.
     """
     wp = jnp.asarray(waypoints, dtype=dtype)
     n_int = num_dp // 3
@@ -305,9 +312,17 @@ def bounds(waypoints, num_dp: int, cfg: OptimizerConfig, dtype=jnp.float32):
     center = jnp.zeros((n_int, 3, 3), dtype=dtype)
     center = center.at[:, 0, :].set(interior)  # slot 0: position
     center = jnp.transpose(center, (2, 0, 1)).reshape(3, num_dp)
-    half = jnp.tile(
-        jnp.asarray([cfg.bos, cfg.vos, cfg.aos], dtype=dtype), (n_int,)
+    bos_arr = jnp.broadcast_to(
+        jnp.asarray(cfg.bos if bos is None else bos, dtype=dtype), (n_int,)
     )
+    half = jnp.stack(
+        [
+            bos_arr,
+            jnp.full((n_int,), cfg.vos, dtype=dtype),
+            jnp.full((n_int,), cfg.aos, dtype=dtype),
+        ],
+        axis=1,
+    ).reshape(-1)
     return center - half[None, :], center + half[None, :]
 
 

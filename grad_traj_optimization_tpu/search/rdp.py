@@ -34,11 +34,18 @@ def _perp_dist(front, back, pts):
     return np.linalg.norm(np.cross(v, d), axis=-1)
 
 
-def simplify(curve, epsilon: float):
-    """Simplify an (N, 3) polyline; returns (M, 3) with endpoints kept."""
+def simplify(curve, epsilon: float, return_index: bool = False):
+    """Simplify an (N, 3) polyline; returns (M, 3) with endpoints kept.
+
+    With ``return_index`` also returns the kept indices (M,) into the
+    input — used to carry per-point side data (e.g. RRT* safe-ball
+    radii) through the simplification.
+    """
     curve = np.asarray(curve, dtype=np.float64)
     n = len(curve)
     if n <= 2:
+        if return_index:
+            return curve.copy(), np.arange(n)
         return curve.copy()
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
@@ -55,6 +62,8 @@ def simplify(curve, epsilon: float):
             keep[split] = True
             stack.append((i, split))
             stack.append((split, j))
+    if return_index:
+        return curve[keep], np.nonzero(keep)[0]
     return curve[keep]
 
 

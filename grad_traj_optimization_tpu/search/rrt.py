@@ -181,6 +181,34 @@ def plan(
     )
 
 
+def corridor_waypoints(
+    result: RRTResult,
+    rdp_epsilon: float = 0.4,
+    min_bos: float = 0.3,
+):
+    """RDP-simplify an RRT* path, carrying the safe-ball radii along.
+
+    The reference's RRT* output is consumed downstream as a corridor —
+    waypoints plus per-node clearance radii (path_finder.cpp:806-887,
+    tracePath/getPath return (Path, Radius)).  This is the rebuild's
+    consumer hookup: the kept waypoints seed the QP, and each kept
+    node's radius becomes that waypoint's position-bound half-width
+    (penalty.bounds ``bos``), so the optimizer's interior waypoints
+    cannot leave their safe balls.
+
+    Returns (waypoints (K, 3), bos_wp (K,)).  ``min_bos`` floors the
+    half-widths so a tight ball still leaves the optimizer room to
+    polish.
+    """
+    from grad_traj_optimization_tpu.search import rdp
+
+    if not result.reached:
+        raise ValueError("corridor_waypoints needs a reached RRTResult")
+    wps, idx = rdp.simplify(result.path, rdp_epsilon, return_index=True)
+    bos_wp = np.maximum(np.asarray(result.radii)[idx], min_bos)
+    return wps, bos_wp
+
+
 def _frame(a1):
     """Orthonormal frame with first axis a1."""
     e = np.array([1.0, 0.0, 0.0])

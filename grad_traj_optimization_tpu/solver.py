@@ -36,12 +36,20 @@ class Scenario(NamedTuple):
     origin: (3,) map origin.
     resolution: () voxel size.
     waypoints: (m+1, 3) path to seed from.
+    grid_offset/grid_full: set by :func:`crop_scenarios` — ``dist`` is
+      the [offset, offset+shape) cell window of a ``grid_full``-cell
+      map whose origin is still ``origin`` (the exact-crop frame: all
+      coordinate arithmetic stays global, so cropped lookups are
+      bitwise-identical to the full map for in-window samples).  None
+      for ordinary full-grid scenarios.
     """
 
     dist: jnp.ndarray
     origin: jnp.ndarray
     resolution: jnp.ndarray
     waypoints: jnp.ndarray
+    grid_offset: jnp.ndarray | None = None   # (3,) int32 cell offset
+    grid_full: jnp.ndarray | None = None     # (3,) int32 full extents
 
 
 class Solution(NamedTuple):
@@ -142,6 +150,7 @@ def _solve_field(
     cfg: OptimizerConfig,
     steps: tuple[int, ...],
     record_trace: bool,
+    bos_wp=None,
 ) -> Solution:
     wp = waypoints
     T = qp.allocate_times(wp, cfg.mean_v, cfg.init_time)
@@ -149,7 +158,10 @@ def _solve_field(
     dep = qp.build_dep(T)
     ctx = penalty.build_ctx(T, Df, cfg, dep=dep)
     num_dp = dp0.shape[1]
-    lb, ub = penalty.bounds(wp, num_dp, cfg, dtype=wp.dtype)
+    lb, ub = penalty.bounds(
+        wp, num_dp, cfg, dtype=wp.dtype,
+        bos=None if bos_wp is None else bos_wp[1 : 1 + num_dp // 3],
+    )
     dp0 = _seed_dp(Df, dep, dp0, lb, ub, cfg)
 
     dp = dp0
@@ -208,6 +220,7 @@ def solve(
     cfg: OptimizerConfig = OptimizerConfig(),
     steps: tuple[int, ...] = (2,),
     record_trace: bool = True,
+    bos_wp=None,
 ) -> Solution:
     """Solve one scenario.
 
@@ -215,6 +228,10 @@ def solve(
     (grad_traj_optimizer.cpp:128-148, 413-415): step 1 optimizes collision
     only (ws = 0), step 2 the full cost.  The active demo (opti_node.cpp:
     104) runs only step 2; pass ``steps=(1, 2)`` for the full schedule.
+
+    ``bos_wp``: optional (n_wp,) per-waypoint position-bound half-widths
+    (a search corridor's clearance radii) replacing the scalar
+    ``cfg.bos`` — see penalty.bounds.
     """
     # latency path: a single solve dispatches to the whole-descent
     # Pallas kernel at B=1 (grid loaded to VMEM once, all iterations
@@ -228,22 +245,33 @@ def solve(
             scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
         ):
             batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
-            sol = solve_batch_kernel(batch, cfg=cfg, steps=steps)
+            sol = solve_batch_kernel(
+                batch, cfg=cfg, steps=steps,
+                bos_wp=None if bos_wp is None else bos_wp[None],
+            )
             return Solution(*jax.tree.map(lambda x: x[0], sol))
+    if scenario.grid_offset is not None:
+        raise ValueError(
+            "exact-cropped scenarios (grid_offset set) require the "
+            "whole-descent kernel path: lookup_mode='auto' on TPU with "
+            "kernel-supported shapes, or call solve_batch_kernel "
+            "directly (interpret=True off-TPU)"
+        )
 
     if cfg.seed_mode == "dual":
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
             solve(scenario, cfg=cfg_a, steps=steps,
-                  record_trace=record_trace),
+                  record_trace=record_trace, bos_wp=bos_wp),
             solve(scenario, cfg=cfg_b, steps=steps,
-                  record_trace=record_trace),
+                  record_trace=record_trace, bos_wp=bos_wp),
         )
     field, grid_shape = penalty.make_field(
         scenario.dist, scenario.origin, scenario.resolution
     )
     return _solve_field(
-        field, grid_shape, scenario.waypoints, cfg, steps, record_trace
+        field, grid_shape, scenario.waypoints, cfg, steps, record_trace,
+        bos_wp=bos_wp,
     )
 
 
@@ -255,6 +283,7 @@ def solve_batch(
     cfg: OptimizerConfig = OptimizerConfig(),
     steps: tuple[int, ...] = (2,),
     record_trace: bool = False,
+    bos_wp=None,
 ) -> Solution:
     """Solve a batch: every leaf of ``scenarios`` has a leading batch axis.
 
@@ -272,9 +301,9 @@ def solve_batch(
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
             solve_batch(scenarios, cfg=cfg_a, steps=steps,
-                        record_trace=record_trace),
+                        record_trace=record_trace, bos_wp=bos_wp),
             solve_batch(scenarios, cfg=cfg_b, steps=steps,
-                        record_trace=record_trace),
+                        record_trace=record_trace, bos_wp=bos_wp),
         )
 
     B = scenarios.waypoints.shape[0]
@@ -300,7 +329,16 @@ def solve_batch(
             and on_tpu
             and sk.supports(grid_shape, m * cfg.n_samples, 3 * m - 3, cfg)
         ):
-            return solve_batch_kernel(scenarios, cfg=cfg, steps=steps)
+            return solve_batch_kernel(
+                scenarios, cfg=cfg, steps=steps, bos_wp=bos_wp
+            )
+    if scenarios.grid_offset is not None:
+        raise ValueError(
+            "exact-cropped scenarios (grid_offset set) require the "
+            "whole-descent kernel path: lookup_mode='auto' on TPU with "
+            "kernel-supported shapes, or call solve_batch_kernel "
+            "directly (interpret=True off-TPU)"
+        )
         if (
             tp.supports(grid_shape, m * cfg.n_samples)
             and cfg.lookup_precision == "highest"
@@ -308,7 +346,8 @@ def solve_batch(
             and (cfg.lookup_mode == "fused" or on_tpu)
         ):
             return solve_batch_fused(
-                scenarios, cfg=cfg, steps=steps, record_trace=record_trace
+                scenarios, cfg=cfg, steps=steps, record_trace=record_trace,
+                bos_wp=bos_wp,
             )
 
     nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
@@ -320,14 +359,15 @@ def solve_batch(
         bases = jnp.arange(B, dtype=jnp.int32) * nvox
     shared_grid = scenarios.dist[0] if shared else None
 
-    def one(base, grid, origin, resolution, waypoints):
+    def one(base, grid, origin, resolution, waypoints, bwp):
         field = penalty.Field(
             flat=flat_all, base=base, origin=origin,
             resolution=resolution,
             grid=shared_grid if shared else grid,
         )
         return _solve_field(
-            field, grid_shape, waypoints, cfg, steps, record_trace
+            field, grid_shape, waypoints, cfg, steps, record_trace,
+            bos_wp=bwp,
         )
 
     grids = (
@@ -335,7 +375,7 @@ def solve_batch(
     )  # dummy when shared (closed over instead)
     return jax.vmap(one)(
         bases, grids, scenarios.origin, scenarios.resolution,
-        scenarios.waypoints,
+        scenarios.waypoints, bos_wp,
     )
 
 
@@ -357,21 +397,26 @@ def crop_scenarios(
     The crop window covers every waypoint ± (bos + margin), snapped to
     whole cells; one static shape (the batch max, rounded up to
     ``multiple``) serves the whole batch so the solve stays jittable.
-    Queries outside the window read as out-of-map (-1 distance, the
-    reference's deep-collision sentinel, sdf_map.cpp:187), which acts as a
-    restoring penalty in the rare case a mid-optimization iterate
-    overshoots the margin.
+    Shared-map batches (``dist`` leading dim 1) take ONE union window
+    over all scenarios' waypoints, preserving the shared-grid kernel
+    path (no per-scenario grid copies).
 
-    Purely a preprocessing step: returns a new Scenario with smaller
-    ``dist`` grids and shifted per-scenario ``origin``; every solve path
-    accepts the result unchanged.  NOTE: this is an *approximation
-    lever*, not an exact transform — cropped-grid lookups differ from the
-    full grid at f32 epsilon (the shifted origin perturbs the floor/frac
-    split), and the descent's accept/reject sequence amplifies that into
-    occasional different-but-equal-quality local minima.  Use it to cut
-    lookup FLOPs on large maps, or to shrink very large grids into
-    the fused Pallas kernel's VMEM-bounded range; don't use it where
-    trajectory-level reproducibility against the uncropped solve matters.
+    The crop is EXACT for in-window queries: the returned Scenario keeps
+    the GLOBAL ``origin`` and records the integer cell offset + the full
+    extents (``grid_offset``/``grid_full``); the lookup kernel does all
+    floor/frac coordinate arithmetic in the global frame and only the
+    cell->lane selection subtracts the offset, so in-window lookups are
+    bitwise-identical to the full grid (adding the cropped-away columns
+    back would contribute exact zeros).  The remaining approximation is
+    the window boundary itself: queries outside the window (or within
+    half a cell of an interior crop face) read as out-of-map (-1, the
+    reference's deep-collision sentinel, sdf_map.cpp:187) — a restoring
+    penalty in the rare case a mid-optimization iterate overshoots the
+    ``margin``.
+
+    Exact-cropped scenarios run through the whole-descent Pallas kernel
+    path only (solve/solve_batch raise otherwise): the offset frame is
+    implemented in ops/solve_pallas._lookup.
     """
     import numpy as np
 
@@ -381,12 +426,20 @@ def crop_scenarios(
     res = float(res_all.reshape(-1)[0])
     if not np.allclose(res_all, res):
         raise ValueError("crop_scenarios needs a uniform resolution batch")
+    if not np.allclose(origins, origins[0]):
+        raise ValueError("crop_scenarios needs a shared-origin batch")
+    if scenarios.grid_offset is not None:
+        raise ValueError("scenarios are already cropped")
     grid = np.asarray(scenarios.dist.shape[1:])  # (3,)
     B = wps.shape[0]
+    shared = scenarios.dist.shape[0] == 1
 
     half = cfg.bos + margin
     lo = wps.min(axis=1) - half  # (B, 3)
     hi = wps.max(axis=1) + half
+    if shared:  # one union window -> one shared cropped grid
+        lo = np.broadcast_to(lo.min(axis=0), lo.shape)
+        hi = np.broadcast_to(hi.max(axis=0), hi.shape)
     i_lo = np.floor((lo - origins) / res).astype(np.int64)
     i_hi = np.ceil((hi - origins) / res).astype(np.int64) + 1
     i_lo = np.clip(i_lo, 0, grid[None, :])
@@ -407,22 +460,23 @@ def crop_scenarios(
             lambda d, o: jax.lax.dynamic_slice(d, (o[0], o[1], o[2]), shp)
         )(dist, off)
 
+    n_grids = scenarios.dist.shape[0]
     new_dist = _slice(
-        scenarios.dist, jnp.asarray(offset, jnp.int32), shape
-    )
-    new_origin = (
-        jnp.asarray(origins, jnp.float32)
-        + jnp.asarray(offset, jnp.float32) * jnp.float32(res)
+        scenarios.dist, jnp.asarray(offset[:n_grids], jnp.int32), shape
     )
     return Scenario(
         dist=new_dist,
-        origin=new_origin,
+        origin=scenarios.origin,
         resolution=scenarios.resolution,
         waypoints=scenarios.waypoints,
+        grid_offset=jnp.asarray(offset, jnp.int32),
+        grid_full=jnp.broadcast_to(
+            jnp.asarray(grid, jnp.int32), (B, 3)
+        ),
     )
 
 
-def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
+def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None):
     """Prep the whole-descent Pallas kernel's inputs from a Scenario
     batch.
 
@@ -490,9 +544,16 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
 
     cgt = 2.0 * ein("bxf,bfp->bpx", Df, dep.Rfp)     # (B, P, 3)
     c_ff = ein("bxf,bfg,bxg->b", Df, dep.R[:, :6, :6], Df)
-    lb, ub = jax.vmap(
-        lambda w: penalty.bounds(w, 3 * m - 3, cfg, dtype=w.dtype)
-    )(wp)
+    if bos_wp is None:
+        lb, ub = jax.vmap(
+            lambda w: penalty.bounds(w, 3 * m - 3, cfg, dtype=w.dtype)
+        )(wp)
+    else:
+        lb, ub = jax.vmap(
+            lambda w, bw: penalty.bounds(
+                w, 3 * m - 3, cfg, dtype=w.dtype, bos=bw[1:m]
+            )
+        )(wp, bos_wp)
     if cfg.seed_mode == "min_snap":
         dp0 = jnp.clip(
             jax.vmap(qp.min_snap_dp)(Df, dep.Rpp, dep.Rfp), lb, ub
@@ -502,12 +563,29 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig):
     dp0T = jnp.swapaxes(dp0, 1, 2)
     dfT = jnp.swapaxes(Df, 1, 2)
 
-    misc = jnp.zeros((B, 1, 8), jnp.float32)
+    misc = jnp.zeros((B, 1, 16), jnp.float32)
     misc = misc.at[:, 0, 0:3].set(scenarios.origin)
     misc = misc.at[:, 0, 3].set(
         jnp.broadcast_to(scenarios.resolution, (B,))
     )
     misc = misc.at[:, 0, 4].set(c_ff)
+    # exact-crop frame: cell offset + full-map extents (defaults:
+    # offset 0, full = this grid -> bitwise the uncropped arithmetic)
+    if scenarios.grid_offset is not None:
+        misc = misc.at[:, 0, 5:8].set(
+            jnp.broadcast_to(
+                scenarios.grid_offset.astype(jnp.float32), (B, 3)
+            )
+        )
+        misc = misc.at[:, 0, 8:11].set(
+            jnp.broadcast_to(
+                scenarios.grid_full.astype(jnp.float32), (B, 3)
+            )
+        )
+    else:
+        misc = misc.at[:, 0, 8:11].set(
+            jnp.asarray(scenarios.dist.shape[1:], jnp.float32)
+        )
 
     # shared-map batches keep the single grid: descend_fused points
     # every Pallas grid instance at the same prepped block (no B-fold
@@ -530,6 +608,7 @@ def solve_batch_kernel(
     cfg: OptimizerConfig = OptimizerConfig(),
     steps: tuple[int, ...] = (2,),
     interpret: bool = False,
+    bos_wp=None,
 ) -> Solution:
     """Batch solve with the WHOLE descent fused into one Pallas kernel.
 
@@ -547,12 +626,12 @@ def solve_batch_kernel(
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
             solve_batch_kernel(scenarios, cfg=cfg_a, steps=steps,
-                               interpret=interpret),
+                               interpret=interpret, bos_wp=bos_wp),
             solve_batch_kernel(scenarios, cfg=cfg_b, steps=steps,
-                               interpret=interpret),
+                               interpret=interpret, bos_wp=bos_wp),
         )
 
-    kargs, (Df, dp0, T) = kernel_inputs(scenarios, cfg)
+    kargs, (Df, dp0, T) = kernel_inputs(scenarios, cfg, bos_wp=bos_wp)
     phases = tuple(
         (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
     )
@@ -607,6 +686,7 @@ def solve_batch_fused(
     steps: tuple[int, ...] = (2,),
     record_trace: bool = False,
     interpret: bool = False,
+    bos_wp=None,
 ) -> Solution:
     """Batch-first solve using the fused Pallas trilinear kernel.
 
@@ -623,10 +703,10 @@ def solve_batch_fused(
         return _combine_dual(
             solve_batch_fused(scenarios, cfg=cfg_a, steps=steps,
                               record_trace=record_trace,
-                              interpret=interpret),
+                              interpret=interpret, bos_wp=bos_wp),
             solve_batch_fused(scenarios, cfg=cfg_b, steps=steps,
                               record_trace=record_trace,
-                              interpret=interpret),
+                              interpret=interpret, bos_wp=bos_wp),
         )
 
     wp = scenarios.waypoints  # (B, m+1, 3)
@@ -637,9 +717,16 @@ def solve_batch_fused(
     Df, dp0 = jax.vmap(qp.straight_line_d)(wp)
     bctx = penalty.build_ctx_batch(T, Df, cfg)
     num_dp = dp0.shape[2]
-    lb, ub = jax.vmap(
-        lambda w: penalty.bounds(w, num_dp, cfg, dtype=w.dtype)
-    )(wp)
+    if bos_wp is None:
+        lb, ub = jax.vmap(
+            lambda w: penalty.bounds(w, num_dp, cfg, dtype=w.dtype)
+        )(wp)
+    else:
+        lb, ub = jax.vmap(
+            lambda w, bw: penalty.bounds(
+                w, num_dp, cfg, dtype=w.dtype, bos=bw[1 : 1 + num_dp // 3]
+            )
+        )(wp, bos_wp)
     if cfg.seed_mode == "min_snap":
         dp0 = jnp.clip(
             jax.vmap(qp.min_snap_dp)(Df, bctx.dep.Rpp, bctx.dep.Rfp),

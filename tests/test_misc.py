@@ -149,3 +149,157 @@ def test_random_scenarios_device_deterministic_and_bounded():
     w = np.asarray(wps1)
     assert w[..., 0].min() >= -1.5 and w[..., 0].max() <= 1.5
     assert w[..., 2].min() >= 1.5 and w[..., 2].max() <= 3.0
+
+
+def _off_center_gap_map():
+    """Wall across y=0, two cells thick, gap only at x in [0.8, 2.4]."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = [
+        (x, y, z)
+        for x in np.arange(-5.0, 5.0, res)
+        for y in (0.0, res)
+        for z in np.arange(0.1, 4.0, res)
+        if not (0.8 < x < 2.4)
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    return np.asarray(sdf.edt(occ, res)), origin, res
+
+
+def _traj_min_clearance(dist, origin, res, sol, n=300):
+    from grad_traj_optimization_tpu.core import poly
+
+    samples, _ = poly.sample_uniform(sol.coeff, sol.T, n)
+    return float(
+        jnp.min(
+            sdf.distance_at(
+                jnp.asarray(dist), jnp.asarray(origin, jnp.float32),
+                jnp.asarray(res, jnp.float32), samples,
+            )
+        )
+    )
+
+
+def test_bounds_per_waypoint():
+    """penalty.bounds with a per-waypoint bos array (corridor radii)."""
+    from grad_traj_optimization_tpu.opt import penalty
+
+    cfg = OptimizerConfig()
+    wp = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (5, 3)),
+                     jnp.float32)
+    m = 4
+    num_dp = 3 * m - 3
+    lb0, ub0 = penalty.bounds(wp, num_dp, cfg)
+    lb1, ub1 = penalty.bounds(
+        wp, num_dp, cfg, bos=jnp.full((m - 1,), cfg.bos, jnp.float32)
+    )
+    np.testing.assert_allclose(lb0, lb1)
+    np.testing.assert_allclose(ub0, ub1)
+    bos = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    lb2, ub2 = penalty.bounds(wp, num_dp, cfg, bos=bos)
+    half = np.asarray(ub2 - lb2) / 2.0
+    for i in range(m - 1):
+        np.testing.assert_allclose(half[:, 3 * i], float(bos[i]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(half[:, 3 * i + 1], cfg.vos, rtol=1e-6)
+        np.testing.assert_allclose(half[:, 3 * i + 2], cfg.aos, rtol=1e-6)
+
+
+def test_rrt_corridor_solves_where_straight_seed_collides():
+    """VERDICT r2 item 6: the RRT* corridor (waypoints + radii) is
+    consumed by the solver — the corridor-seeded solve clears a map the
+    straight-line seed cannot."""
+    from grad_traj_optimization_tpu import harness
+
+    dist, origin, res = _off_center_gap_map()
+    start = np.array([0.0, -3.0, 2.0])
+    goal = np.array([0.0, 3.0, 2.0])
+    cfg = OptimizerConfig(iters_step1=10, iters_step2=40)
+
+    # control: a straight 3-waypoint seed pierces the wall and the
+    # penalty descent cannot pull it through the off-center gap
+    scn = solve_mod.Scenario(
+        dist=jnp.asarray(dist),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(res, jnp.float32),
+        waypoints=jnp.asarray(
+            np.stack([start, 0.5 * (start + goal), goal]), jnp.float32
+        ),
+    )
+    sol_straight = solve_mod.solve(scn, cfg=cfg, steps=(1, 2))
+    d_straight = _traj_min_clearance(dist, origin, res, sol_straight)
+
+    rec = harness.run_case_rrt(
+        0, jnp.asarray(dist), origin, res, start, goal, cfg=cfg,
+        steps=(1, 2), rrt_iters=1500, seed=1,
+    )
+    assert rec.status == 0 and rec.frontend_ok
+    assert rec.traj_length_m > 6.0
+    # re-solve to get the Solution for the clearance check
+    from grad_traj_optimization_tpu.search import rrt as rrt_mod
+
+    res_rrt = rrt_mod.plan(
+        dist, origin, res, start, goal, max_iters=1500, seed=1
+    )
+    wps, bos_wp = rrt_mod.corridor_waypoints(res_rrt)
+    scn_rrt = solve_mod.Scenario(
+        dist=jnp.asarray(dist),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(res, jnp.float32),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    sol_rrt = solve_mod.solve(
+        scn_rrt, cfg=cfg, steps=(1, 2),
+        bos_wp=jnp.asarray(bos_wp, jnp.float32),
+    )
+    d_rrt = _traj_min_clearance(dist, origin, res, sol_rrt)
+    assert d_straight <= 0.05, d_straight   # straight seed collides
+    assert d_rrt > 0.15, d_rrt              # corridor seed clears
+
+    # the corridor bounds actually bind: every interior waypoint's
+    # optimized position stays within its safe-ball radius
+    dp = np.asarray(sol_rrt.dp)  # (3, 3m-3)
+    n_int = dp.shape[1] // 3
+    for i in range(n_int):
+        p_opt = dp[:, 3 * i]
+        dev = np.linalg.norm(p_opt - wps[1 + i])
+        # axis-aligned box with half-width bos -> inf-norm bound
+        assert np.max(np.abs(p_opt - wps[1 + i])) <= bos_wp[1 + i] + 1e-5
+
+
+def test_solve_batch_bos_wp_matches_single():
+    """bos_wp threads identically through solve_batch and solve."""
+    dist, origin, res = _off_center_gap_map()
+    start = np.array([0.0, -3.0, 2.0])
+    goal = np.array([0.0, 3.0, 2.0])
+    cfg = OptimizerConfig(iters_step1=4, iters_step2=10)
+    wps = np.stack([
+        start, [1.5, -1.0, 2.0], [1.5, 1.0, 2.0], goal,
+    ]).astype(np.float32)
+    bos_wp = np.asarray([1.0, 0.7, 0.9, 1.0], np.float32)
+    scn1 = solve_mod.Scenario(
+        dist=jnp.asarray(dist),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(res, jnp.float32),
+        waypoints=jnp.asarray(wps),
+    )
+    sol1 = solve_mod.solve(
+        scn1, cfg=cfg, steps=(2,), bos_wp=jnp.asarray(bos_wp)
+    )
+    B = 3
+    scnB = solve_mod.Scenario(
+        dist=jnp.asarray(dist)[None],
+        origin=jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (B, 3)),
+        resolution=jnp.full((B,), res, jnp.float32),
+        waypoints=jnp.broadcast_to(jnp.asarray(wps), (B, 4, 3)),
+    )
+    solB = solve_mod.solve_batch(
+        scnB, cfg=cfg, steps=(2,),
+        bos_wp=jnp.broadcast_to(jnp.asarray(bos_wp), (B, 4)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol1.dp), np.asarray(solB.dp[1]), rtol=0, atol=1e-6
+    )

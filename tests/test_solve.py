@@ -222,11 +222,12 @@ def test_text_input_fixture_runs_two_step():
 
 
 def test_crop_scenarios_matches_full_grid():
-    """Per-scenario grid cropping (lookup FLOP saver) preserves solution
-    QUALITY.  Exact trajectory parity is not expected: the shifted origin
-    perturbs lookups at f32 epsilon and the descent's accept/reject
-    sequence can amplify that into a different (equal-quality) local
-    minimum — see crop_scenarios's docstring."""
+    """EXACT cropping (round-3): crop_scenarios keeps the global origin
+    and records the integer cell offset; the whole-descent kernel does
+    its coordinate arithmetic in the global frame, so cropped solves are
+    BITWISE-identical to full-grid solves for in-window trajectories
+    (interpret mode; the chip check lives in scripts/ab_crop_exact.py).
+    """
     map_cfg, pts, valid, wps = fixtures.random_scenarios(
         6, n_waypoints=5, seed=7, max_obstacle_points=1024
     )
@@ -249,11 +250,20 @@ def test_crop_scenarios_matches_full_grid():
     cropped = solve_mod.crop_scenarios(batch, cfg)
     assert cropped.dist.shape[1:] != batch.dist.shape[1:]
     assert np.prod(cropped.dist.shape[1:]) < np.prod(batch.dist.shape[1:])
+    # exact-crop frame: origin unchanged, offset + full extents recorded
+    np.testing.assert_array_equal(
+        np.asarray(cropped.origin), np.asarray(batch.origin)
+    )
+    assert cropped.grid_offset.shape == (B, 3)
+    np.testing.assert_array_equal(
+        np.asarray(cropped.grid_full),
+        np.broadcast_to(np.asarray(batch.dist.shape[1:]), (B, 3)),
+    )
 
     # the crop window must cover waypoints +- (bos + margin), clipped to
     # the map bounds
-    res = float(np.asarray(cropped.resolution)[0])
-    lo = np.asarray(cropped.origin)
+    off = np.asarray(cropped.grid_offset)
+    lo = np.asarray(batch.origin) + off * res
     hi = lo + np.asarray(cropped.dist.shape[1:]) * res
     map_lo = np.asarray(batch.origin)
     map_hi = map_lo + np.asarray(batch.dist.shape[1:]) * res
@@ -266,26 +276,66 @@ def test_crop_scenarios_matches_full_grid():
     assert np.all(lo <= want_lo + res)
     assert np.all(hi >= want_hi - res)
 
-    s_full = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
-    s_crop = solve_mod.solve_batch(cropped, cfg=cfg, steps=(2,))
+    # solve both through the whole-descent kernel (interpret mode):
+    # BITWISE-equal iterates — the cropped-away grid columns would have
+    # contributed exact zeros
+    s_full = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(2,), interpret=True
+    )
+    s_crop = solve_mod.solve_batch_kernel(
+        cropped, cfg=cfg, steps=(2,), interpret=True
+    )
     assert np.all(np.asarray(s_crop.status) == solve_mod.STATUS_OK)
-    # equal-quality solutions: per-scenario cost within 10%, and the
-    # batch means agree tightly
-    cf = np.asarray(s_full.cost)
-    cc = np.asarray(s_crop.cost)
-    assert np.all(cc < 1.10 * cf + 1e-6)
-    assert abs(cc.mean() - cf.mean()) < 0.05 * cf.mean()
-    # cropped trajectories keep the same clearance against the FULL grid
-    for b in range(B):
-        p2, _ = poly.sample_uniform(s_crop.coeff[b], s_crop.T[b], 200)
-        d_full = sdf.distance_at(
-            batch.dist[b], batch.origin[b], batch.resolution[b], p2
-        )
-        p1, _ = poly.sample_uniform(s_full.coeff[b], s_full.T[b], 200)
-        d_ref = sdf.distance_at(
-            batch.dist[b], batch.origin[b], batch.resolution[b], p1
-        )
-        assert float(jnp.min(d_full)) > float(jnp.min(d_ref)) - 0.25
+    np.testing.assert_array_equal(
+        np.asarray(s_crop.dp), np.asarray(s_full.dp)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_crop.cost), np.asarray(s_full.cost)
+    )
+
+    # non-kernel paths must refuse cropped scenarios loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel path"):
+        solve_mod.solve_batch(cropped, cfg=cfg, steps=(2,))
+
+
+def test_crop_scenarios_shared_map_union_window():
+    """Shared-map batches (dist dim 1) crop to ONE union window so the
+    shared-grid kernel path (no per-scenario copies) is preserved."""
+    map_cfg, pts, valid, wps = fixtures.random_scenarios(
+        4, n_waypoints=5, seed=11, max_obstacle_points=1024
+    )
+    origin = jnp.asarray(map_cfg.origin, jnp.float32)
+    res = map_cfg.resolution
+    occ = sdf.rasterize(
+        jnp.asarray(pts[0], jnp.float32), origin, res,
+        map_cfg.grid_shape, valid_mask=jnp.asarray(valid[0]),
+    )
+    dist = sdf.edt(occ, res)[None]
+    B = wps.shape[0]
+    # cluster the waypoints so a union window is meaningfully smaller
+    wps = np.asarray(wps) * 0.4
+    batch = solve_mod.Scenario(
+        dist=dist,
+        origin=jnp.broadcast_to(origin, (B, 3)),
+        resolution=jnp.full((B,), res, jnp.float32),
+        waypoints=jnp.asarray(wps, jnp.float32),
+    )
+    cfg = _small_cfg()
+    cropped = solve_mod.crop_scenarios(batch, cfg)
+    assert cropped.dist.shape[0] == 1  # still shared
+    off = np.asarray(cropped.grid_offset)
+    assert np.all(off == off[0])  # one union window
+    s_full = solve_mod.solve_batch_kernel(
+        batch, cfg=cfg, steps=(2,), interpret=True
+    )
+    s_crop = solve_mod.solve_batch_kernel(
+        cropped, cfg=cfg, steps=(2,), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_crop.dp), np.asarray(s_full.dp)
+    )
 
 
 def test_solve_batch_kernel_matches_reference_path():

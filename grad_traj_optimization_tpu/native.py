@@ -23,7 +23,7 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
-_ABI_VERSION = 3  # must match gtop_abi_version() in gtop_core.cpp
+_ABI_VERSION = 4  # must match gtop_abi_version() in gtop_core.cpp
 
 
 def _stale() -> bool:
@@ -217,6 +217,86 @@ def solve_batch(dist, origin, resolution, waypoints, cfg, steps=(2,)):
         _f64p(costs),
     )
     return coeff, times, costs
+
+
+#: hybrid A* status codes (reference hybrid_astar.h:13-15)
+HYBRID_NO_PATH = 0
+HYBRID_REACH_END = 1
+HYBRID_REACH_HORIZON = 2
+
+
+def hybrid_search(
+    dist,
+    origin,
+    resolution,
+    start_state,
+    goal_state,
+    start_acc=(0.0, 0.0, 0.0),
+    max_acc: float = 2.0,
+    max_vel: float = 3.0,
+    max_tau: float = 1.0,
+    w_time: float = 10.0,
+    lambda_heu: float = 5.0,
+    horizon: float = 50.0,
+    max_iters: int = 30000,
+    init_max_tau: float = 0.8,
+    use_init: bool = False,
+    heu_mode: int = 0,
+    margin: float = 0.2,
+    max_knots: int = 64,
+):
+    """Exact host-side hybrid A* — the compare2 front-end.
+
+    Faithful port of HybridAStarPathFinder::searchPath
+    (hybrid_astar.cpp:219-446) with the reference's setParameterAuto
+    defaults (:17-23: max_tau=1, max_vel=3, max_acc=2, w_time=10,
+    horizon=50, lambda_heu=5) and its hard-coded 0.2 m clearance
+    (:644).  ``use_init`` enables the init-mode first expansion with
+    ``start_acc`` (:1377-1447); ``heu_mode`` selects the heuristic
+    (0 kinodynamic quartic — the active one; 1 diag / 2 manhattan /
+    3 euclid, the reference's unwired geometric options, :148-186).
+
+    Returns (pos (K,3), vel (K,3), acc (K,3), times (K-1,), status)
+    where status is HYBRID_{NO_PATH, REACH_END, REACH_HORIZON}.
+    """
+    lib = _load()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gtop_hybrid_search.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ctypes.c_float, f64p, f64p, f64p, f64p, f64p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.gtop_hybrid_search.restype = ctypes.c_int
+
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+    origin32 = np.ascontiguousarray(origin, dtype=np.float32)
+    s9 = np.concatenate([
+        np.asarray(start_state, np.float64).reshape(6),
+        np.asarray(start_acc, np.float64).reshape(3),
+    ])
+    g6 = np.ascontiguousarray(goal_state, dtype=np.float64)
+    cfg = np.array(
+        [max_acc, max_vel, max_tau, w_time, lambda_heu, horizon,
+         max_iters, init_max_tau, 1.0 if use_init else 0.0, heu_mode,
+         margin],
+        dtype=np.float64,
+    )
+    knots = np.zeros((max_knots, 9), np.float64)
+    times = np.zeros(max_knots, np.float64)
+    status = ctypes.c_int(0)
+    nx, ny, nz = dist.shape
+    k = lib.gtop_hybrid_search(
+        _f32p(dist), nx, ny, nz, _f32p(origin32), resolution, _f64p(s9),
+        _f64p(g6), _f64p(cfg), _f64p(knots), _f64p(times), max_knots,
+        ctypes.byref(status),
+    )
+    if k == 0:
+        return (np.zeros((0, 3)),) * 3 + (np.zeros(0), HYBRID_NO_PATH)
+    return (
+        knots[:k, 0:3], knots[:k, 3:6], knots[:k, 6:9], times[: k - 1],
+        int(status.value),
+    )
 
 
 def kino_search(

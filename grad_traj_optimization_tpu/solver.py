@@ -476,7 +476,8 @@ def crop_scenarios(
     )
 
 
-def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None):
+def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None,
+                  dp0=None):
     """Prep the whole-descent Pallas kernel's inputs from a Scenario
     batch.
 
@@ -497,13 +498,13 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None):
     T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
         wp
     )
-    Df, dp0 = jax.vmap(qp.straight_line_d)(wp)  # (B,3,6), (B,3,P)
+    Df, dp0_straight = jax.vmap(qp.straight_line_d)(wp)  # (B,3,6), (B,3,P)
     # the sample quadrature, bases and TL/TVL gradient chains come from
     # penalty.build_ctx_batch — the single home of the reference's
     # 30-sample/1e-3-offset quirk — NOT re-derived here
     bctx = penalty.build_ctx_batch(T, Df, cfg)
     dep = bctx.dep
-    P = dp0.shape[2]
+    P = dp0_straight.shape[2]
     ndim = 3 * m + 3
     K = cfg.n_samples
     S = m * K
@@ -554,10 +555,13 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None):
                 w, 3 * m - 3, cfg, dtype=w.dtype, bos=bw[1:m]
             )
         )(wp, bos_wp)
-    if cfg.seed_mode == "min_snap":
-        dp0 = jnp.clip(
-            jax.vmap(qp.min_snap_dp)(Df, dep.Rpp, dep.Rfp), lb, ub
-        )
+    if dp0 is None:
+        if cfg.seed_mode == "min_snap":
+            dp0 = jnp.clip(
+                jax.vmap(qp.min_snap_dp)(Df, dep.Rpp, dep.Rfp), lb, ub
+            )
+        else:
+            dp0 = dp0_straight
     lbT = jnp.swapaxes(lb, 1, 2)
     ubT = jnp.swapaxes(ub, 1, 2)
     dp0T = jnp.swapaxes(dp0, 1, 2)
@@ -609,6 +613,7 @@ def solve_batch_kernel(
     steps: tuple[int, ...] = (2,),
     interpret: bool = False,
     bos_wp=None,
+    dp0=None,
 ) -> Solution:
     """Batch solve with the WHOLE descent fused into one Pallas kernel.
 
@@ -626,12 +631,16 @@ def solve_batch_kernel(
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
             solve_batch_kernel(scenarios, cfg=cfg_a, steps=steps,
-                               interpret=interpret, bos_wp=bos_wp),
+                               interpret=interpret, bos_wp=bos_wp,
+                               dp0=dp0),
             solve_batch_kernel(scenarios, cfg=cfg_b, steps=steps,
-                               interpret=interpret, bos_wp=bos_wp),
+                               interpret=interpret, bos_wp=bos_wp,
+                               dp0=dp0),
         )
 
-    kargs, (Df, dp0, T) = kernel_inputs(scenarios, cfg, bos_wp=bos_wp)
+    kargs, (Df, dp0, T) = kernel_inputs(
+        scenarios, cfg, bos_wp=bos_wp, dp0=dp0
+    )
     phases = tuple(
         (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
     )

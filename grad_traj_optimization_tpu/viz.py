@@ -73,6 +73,52 @@ def plot_topdown(sol, scenario, ax=None, n_samples: int = 400):
     return ax
 
 
+def plot_esdf_layers(dist, origin, resolution, ax=None, max_dist=None,
+                     n_layers: int = 8, z_slice: int | None = None):
+    """Transparency-layered ESDF level sets (reference sdf_map.cpp:
+    370-421: getESDFMarker renders one marker layer per distance level,
+    alpha fading with distance).
+
+    Draws ``n_layers`` level bands of the distance field on a top-down
+    axis — cells with distance below level k get an overlay whose alpha
+    decreases with k, so walls glow and free space fades out exactly
+    like the reference's stacked rviz markers.  ``z_slice`` picks one
+    z layer (default: column-min over z, the conservative top-down
+    view).  Requires matplotlib.
+    """
+    import matplotlib.pyplot as plt
+
+    dist = np.asarray(dist)
+    origin = np.asarray(origin)
+    res = float(np.asarray(resolution).reshape(-1)[0])
+    field = (
+        dist[:, :, z_slice] if z_slice is not None else dist.min(axis=2)
+    )
+    if max_dist is None:
+        # the reference scales alpha by the field's max (:423-431)
+        max_dist = float(min(field.max(), 5.0)) or 1.0
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    extent = (
+        origin[0], origin[0] + field.shape[0] * res,
+        origin[1], origin[1] + field.shape[1] * res,
+    )
+    levels = np.linspace(max_dist / n_layers, max_dist, n_layers)
+    for k, level in enumerate(levels):
+        layer = (field <= level).astype(float)
+        alpha = 0.8 * (1.0 - k / n_layers)
+        ax.imshow(
+            np.ma.masked_where(layer.T < 0.5, layer.T), origin="lower",
+            extent=extent, cmap="Reds_r", alpha=alpha, vmin=0, vmax=1,
+            interpolation="nearest",
+        )
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_title(f"ESDF level sets (<= {max_dist:.1f} m, {n_layers} layers)")
+    return ax
+
+
 def plot_cost_curve(sol, ax=None):
     """Monotone best-cost envelope (reference getCostCurve)."""
     import matplotlib.pyplot as plt

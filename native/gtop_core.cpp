@@ -89,7 +89,7 @@ extern "C" {
 
 // cfg-array ABI version of gtop_solve (bump when cfg fields are added
 // or entry points change so stale .so files fail loudly)
-int gtop_abi_version() { return 3; }
+int gtop_abi_version() { return 4; }
 
 // Exact unsigned EDT of an occupancy grid (x-major layout, matching the
 // reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
@@ -1096,4 +1096,392 @@ extern "C" int gtop_kino_search(const float* dist, int nx, int ny, int nz,
   }
   out_times[w] = 0.0;
   return w + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Exact hybrid A* (host reference): the compare2 front-end.
+//
+// Port of the reference HybridAStarPathFinder::searchPath
+// (hybrid_astar.cpp:219-446) with its expansion (getNeighbor :521-714,
+// getNeighborInit :1377-1447), Pontryagin heuristic (:778-814, its
+// tie_breaker = 1.0001 makes the factor (1+tie_breaker) = 2.0001 —
+// twice the kino variant's 1.0001), geometric heuristic options
+// (:148-186, available but unwired in the reference's active flow),
+// and the fixed-end-velocity cubic one-shot shotHeu (:1023-1101).
+// Structure is our own: a voxel-hash node store + std::multimap open
+// list instead of the reference's dense GridNodePtr*** grid (identical
+// semantics — untouched voxels are "new").
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct HNode {
+  double state[6];
+  double g = 0, f = 0;
+  double opt_time = 0;   // Pontryagin optimal time toward the goal
+  double dur = 0;        // duration of the edge INTO this node
+  double input[3] = {0, 0, 0};
+  int64_t came = -1;     // parent voxel key (-1 = root)
+  int id = 0;            // 0 new, 1 open, -1 closed
+  std::multimap<double, int64_t>::iterator it;
+};
+
+// raw Pontryagin minimum cost (shared by both A* variants; the callers
+// apply their own tie-breaker factor)
+double pontryagin_cost(const double* x1, const double* x2, double w_time,
+                       double max_vel, double* opt_time) {
+  double dp[3] = {x2[0] - x1[0], x2[1] - x1[1], x2[2] - x1[2]};
+  const double* v0 = x1 + 3;
+  const double* v1 = x2 + 3;
+  double dpdp = dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2];
+  double c1 = -36 * dpdp;
+  double c2 = 0, c3 = 0;
+  for (int a = 0; a < 3; ++a) {
+    c2 += 24 * (v0[a] + v1[a]) * dp[a];
+    c3 += -4 * (v0[a] * v0[a] + v0[a] * v1[a] + v1[a] * v1[a]);
+  }
+  double roots[5];
+  int n = quartic_real(w_time, 0, c3, c2, c1, roots);
+  double t_bar =
+      std::max({std::fabs(dp[0]), std::fabs(dp[1]), std::fabs(dp[2])}) /
+      max_vel;
+  roots[n++] = t_bar;
+  double best = 1e17, t_d = t_bar;
+  for (int i = 0; i < n; ++i) {
+    double t = roots[i];
+    if (!(t >= t_bar) || !std::isfinite(t)) continue;
+    double c = -c1 / (3 * t * t * t) - c2 / (2 * t * t) - c3 / t +
+               w_time * t;
+    if (c < best) {
+      best = c;
+      t_d = t;
+    }
+  }
+  *opt_time = t_d;
+  return best;
+}
+
+// hybrid_astar.cpp:148-186 — index-space geometric heuristics
+double h_geom_heu(int mode, const int* i1, const int* i2) {
+  double dx = std::abs(i1[0] - i2[0]);
+  double dy = std::abs(i1[1] - i2[1]);
+  double dz = std::abs(i1[2] - i2[2]);
+  if (mode == 2) return dx + dy + dz;                       // Manhattan
+  if (mode == 3) return std::sqrt(dx * dx + dy * dy + dz * dz);  // Euclid
+  // diagonal (the reference getHeu default)
+  double diag = std::min({dx, dy, dz});
+  dx -= diag;
+  dy -= diag;
+  dz -= diag;
+  double h = 0.0;
+  if (dx == 0)
+    h = std::sqrt(3.0) * diag + std::sqrt(2.0) * std::min(dy, dz) +
+        std::fabs(dy - dz);
+  if (dy == 0)
+    h = std::sqrt(3.0) * diag + std::sqrt(2.0) * std::min(dx, dz) +
+        std::fabs(dx - dz);
+  if (dz == 0)
+    h = std::sqrt(3.0) * diag + std::sqrt(2.0) * std::min(dx, dy) +
+        std::fabs(dx - dy);
+  return h;
+}
+
+}  // namespace
+
+// Exact hybrid A* search (compare2's front-end).
+//
+// cfg: [max_acc, max_vel, max_tau, w_time, lambda_heu, horizon,
+//       max_iters, init_max_tau, use_init (0/1), heu_mode
+//       (0 kinodynamic / 1 diag / 2 manhattan / 3 euclid),
+//       clearance_margin (reference hard-codes 0.2, :644)]
+// start: 9 doubles = state (pos, vel) + start acceleration (init mode
+// expands with um = start_acc, hybrid_astar.cpp:1377-1447).
+// out_status: 0 NO_PATH, 1 REACH_END, 2 REACH_HORIZON
+//   (hybrid_astar.h:13-15).
+// Returns the number of knots written (pos, vel, acc rows of
+// out_knots; out_times has n-1 durations), 0 on NO_PATH.
+extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
+                                  const float* origin, float resolution,
+                                  const double* start, const double* goal,
+                                  const double* cfg, double* out_knots,
+                                  double* out_times, int max_knots,
+                                  int* out_status) {
+  const double max_acc = cfg[0], max_vel = cfg[1], max_tau = cfg[2];
+  const double w_time = cfg[3], lambda_heu = cfg[4], horizon = cfg[5];
+  const int max_iters = int(cfg[6]);
+  const double init_max_tau = cfg[7];
+  const bool use_init = cfg[8] > 0.5;
+  const int heu_mode = int(cfg[9]);
+  const double margin = cfg[10];
+  const double tie_breaker = 1.0 + 1.0 / 10000.0;  // hybrid_astar.h:94
+  *out_status = 0;
+
+  auto vox = [&](const double* p, int* i3) {
+    i3[0] = int(std::floor((p[0] - origin[0]) / resolution));
+    i3[1] = int(std::floor((p[1] - origin[1]) / resolution));
+    i3[2] = int(std::floor((p[2] - origin[2]) / resolution));
+  };
+  auto in_grid = [&](const int* i3) {
+    return i3[0] >= 0 && i3[0] < nx && i3[1] >= 0 && i3[1] < ny &&
+           i3[2] >= 0 && i3[2] < nz;
+  };
+  auto key_of = [&](const int* i3) -> int64_t {
+    return (int64_t(i3[0]) * ny + i3[1]) * nz + i3[2];
+  };
+  auto dist_at_idx = [&](const int* i3) -> double {
+    return dist[flat(i3[0], i3[1], i3[2], ny, nz)];
+  };
+
+  int end_idx[3], start_idx[3];
+  vox(goal, end_idx);
+  vox(start, start_idx);
+  if (!in_grid(start_idx) || !in_grid(end_idx)) return 0;
+
+  // heuristic of a state toward the goal (also yields the Pontryagin
+  // optimal time the one-shot needs, regardless of heu_mode)
+  auto heu_of = [&](const double* x, double* opt_t) {
+    double raw = pontryagin_cost(x, goal, w_time, max_vel, opt_t);
+    if (heu_mode == 0) return (1.0 + tie_breaker) * raw;
+    int i3[3];
+    vox(x, i3);
+    return tie_breaker * h_geom_heu(heu_mode, i3, end_idx);
+  };
+
+  std::unordered_map<int64_t, HNode> nodes;
+  std::multimap<double, int64_t> open;
+
+  HNode s;
+  std::memcpy(s.state, start, 6 * sizeof(double));
+  s.g = 0;
+  s.f = lambda_heu * heu_of(start, &s.opt_time);
+  s.id = 1;
+  int64_t start_key = key_of(start_idx);
+  s.it = open.insert({s.f, start_key});
+  nodes[start_key] = s;
+
+  struct Cand {
+    double state[6];
+    double edge, heu, opt_time, dur;
+    double input[3];
+  };
+
+  bool is_shot_succ = false;
+  double t_shot = 0.0;
+  int64_t terminate_key = -1;
+  bool first_expand = use_init;
+  int num_iter = 0;
+
+  while (!open.empty() && num_iter < max_iters) {
+    ++num_iter;
+    int64_t cur_key = open.begin()->second;
+    HNode& cur = nodes[cur_key];
+
+    int cur_idx[3];
+    vox(cur.state, cur_idx);
+    const int difference = 5;  // hybrid_astar.cpp:283
+    bool near_end = std::abs(cur_idx[0] - end_idx[0]) <= difference &&
+                    std::abs(cur_idx[1] - end_idx[1]) <= difference &&
+                    std::abs(cur_idx[2] - end_idx[2]) <= difference;
+    double dx0 = cur.state[0] - start[0], dy0 = cur.state[1] - start[1],
+           dz0 = cur.state[2] - start[2];
+    bool reach_horizon =
+        std::sqrt(dx0 * dx0 + dy0 * dy0 + dz0 * dz0) >= horizon;
+
+    if (reach_horizon || near_end) {
+      if (near_end) {
+        // shotHeu (:1023-1101): fixed-end-velocity cubic over the
+        // node's stored Pontryagin optimal time; 10 forward samples
+        // checked against OCCUPANCY (not the 0.2 clearance — :1096)
+        double t_d = std::max(cur.opt_time, 1e-2);
+        double dp[3], dv[3], ca[3], cb[3];
+        for (int a = 0; a < 3; ++a) {
+          dp[a] = goal[a] - cur.state[a];
+          dv[a] = goal[3 + a] - cur.state[3 + a];
+          ca[a] = (1.0 / 6.0) *
+                  (-12.0 / (t_d * t_d * t_d) * (dp[a] - cur.state[3 + a] * t_d) +
+                   6.0 / (t_d * t_d) * dv[a]);
+          cb[a] = 0.5 * (6.0 / (t_d * t_d) * (dp[a] - cur.state[3 + a] * t_d) -
+                         2.0 / t_d * dv[a]);
+        }
+        bool ok = true;
+        for (int k = 1; k <= 10 && ok; ++k) {
+          double t = t_d * k / 10.0;
+          double p[3];
+          int i3[3];
+          for (int a = 0; a < 3; ++a)
+            p[a] = cur.state[a] + cur.state[3 + a] * t + cb[a] * t * t +
+                   ca[a] * t * t * t;
+          vox(p, i3);
+          if (!in_grid(i3) || dist_at_idx(i3) <= 0.0) ok = false;
+        }
+        if (ok) {
+          is_shot_succ = true;
+          t_shot = t_d;
+        }
+      }
+      terminate_key = cur_key;
+      if (near_end) {
+        if (cur.came < 0 && !is_shot_succ) {
+          *out_status = 0;  // NO_PATH (:326-329)
+          return 0;
+        }
+        *out_status = 1;  // REACH_END
+      } else {
+        *out_status = 2;  // REACH_HORIZON
+      }
+      break;
+    }
+
+    open.erase(open.begin());
+    cur.id = -1;
+
+    // expansion: per-diff-voxel best candidate by edge+heu
+    // (the reference Neighbors container, hybrid_astar.h:28-64)
+    std::map<int64_t, Cand> cands;
+    auto consider = [&](const double* x1, const double* um, double tau) {
+      int i3[3];
+      vox(x1, i3);
+      int64_t diff_key = key_of(i3);
+      Cand c;
+      std::memcpy(c.state, x1, 6 * sizeof(double));
+      c.edge = (um[0] * um[0] + um[1] * um[1] + um[2] * um[2] + w_time) *
+               tau;
+      c.heu = lambda_heu * heu_of(x1, &c.opt_time);
+      c.dur = tau;
+      std::memcpy(c.input, um, 3 * sizeof(double));
+      auto it = cands.find(diff_key);
+      if (it == cands.end() || c.edge + c.heu < it->second.edge + it->second.heu)
+        cands[diff_key] = c;
+    };
+
+    if (first_expand) {
+      // init-mode expansion (:1377-1447): um = start_acc, 8 durations
+      first_expand = false;
+      const double* um = start + 6;
+      for (int k = 1; k <= 8; ++k) {
+        double tau = init_max_tau * k / 8.0;
+        double x1[6];
+        k_transit(cur.state, um, tau, x1);
+        int i3[3];
+        vox(x1, i3);
+        if (!in_grid(i3)) continue;
+        if (std::fabs(x1[3]) > max_vel || std::fabs(x1[4]) > max_vel ||
+            std::fabs(x1[5]) > max_vel)
+          continue;
+        if (key_of(i3) == cur_key) continue;
+        bool occ = false;
+        for (int j = 1; j <= 10 && !occ; ++j) {
+          double xt[6];
+          int it3[3];
+          k_transit(cur.state, um, tau * j / 10.0, xt);
+          vox(xt, it3);
+          if (!in_grid(it3) || dist_at_idx(it3) <= margin) occ = true;
+        }
+        if (occ) continue;
+        consider(x1, um, tau);
+      }
+    } else {
+      // 5^3 accelerations, um_z halved, single duration max_tau; the
+      // reference `break`s (not continues) out of the innermost az
+      // loop on the first infeasible candidate (:606-666) — a real
+      // behavioral quirk, replicated
+      const int check_num = 10;
+      for (int iax = -2; iax <= 2; ++iax)
+        for (int iay = -2; iay <= 2; ++iay)
+          for (int iaz = -2; iaz <= 2; ++iaz) {
+            double um[3] = {max_acc * iax / 2.0, max_acc * iay / 2.0,
+                            0.5 * max_acc * iaz / 2.0};
+            double x1[6];
+            k_transit(cur.state, um, max_tau, x1);
+            int i3[3];
+            vox(x1, i3);
+            if (!in_grid(i3)) break;
+            if (std::fabs(x1[3]) > max_vel || std::fabs(x1[4]) > max_vel ||
+                std::fabs(x1[5]) > max_vel)
+              break;
+            if (key_of(i3) == cur_key) continue;
+            if (dist_at_idx(i3) <= 0.0) break;  // occupancy (:639)
+            bool occ = false;
+            for (int j = 1; j < check_num && !occ; ++j) {
+              double xt[6];
+              int it3[3];
+              k_transit(cur.state, um, max_tau * j / check_num, xt);
+              vox(xt, it3);
+              if (!in_grid(it3) || dist_at_idx(it3) <= margin) occ = true;
+            }
+            if (occ) break;
+            consider(x1, um, max_tau);
+          }
+    }
+
+    // relaxation (:356-440): new nodes open; open nodes update when
+    // tentative_g <= g; closed nodes never touched
+    for (auto& [nb_key, c] : cands) {
+      double tentative_g = cur.g + c.edge;
+      auto nit = nodes.find(nb_key);
+      if (nit == nodes.end() || nit->second.id == 0) {
+        HNode nd;
+        std::memcpy(nd.state, c.state, 6 * sizeof(double));
+        nd.g = tentative_g;
+        nd.f = tentative_g + c.heu;
+        nd.opt_time = c.opt_time;
+        nd.dur = c.dur;
+        std::memcpy(nd.input, c.input, 3 * sizeof(double));
+        nd.came = cur_key;
+        nd.id = 1;
+        nd.it = open.insert({nd.f, nb_key});
+        nodes[nb_key] = nd;
+      } else if (nit->second.id == 1 && tentative_g <= nit->second.g) {
+        HNode& nd = nit->second;
+        std::memcpy(nd.state, c.state, 6 * sizeof(double));
+        nd.g = tentative_g;
+        nd.f = tentative_g + c.heu;
+        nd.opt_time = c.opt_time;
+        nd.dur = c.dur;
+        std::memcpy(nd.input, c.input, 3 * sizeof(double));
+        nd.came = cur_key;
+        open.erase(nd.it);
+        nd.it = open.insert({nd.f, nb_key});
+      }
+    }
+  }
+
+  if (terminate_key < 0) {
+    *out_status = 0;
+    return 0;
+  }
+
+  // knot extraction (getKinoTrajMat, :1103-1161): chain start ->
+  // terminate (+ goal when the shot landed; goal knot carries ZERO
+  // velocity exactly as the reference writes it, :1117-1120)
+  std::vector<int64_t> chain;
+  for (int64_t k = terminate_key; k >= 0; k = nodes[k].came)
+    chain.push_back(k);
+  std::reverse(chain.begin(), chain.end());
+  int n = int(chain.size());
+  int extra = is_shot_succ ? 1 : 0;
+  int total = std::min(n + extra, max_knots);
+  int skip = n + extra - total;
+  int w = 0;
+  for (int i = skip; i < n; ++i, ++w) {
+    const HNode& nd = nodes[chain[i]];
+    for (int a = 0; a < 3; ++a) {
+      out_knots[9 * w + a] = nd.state[a];
+      out_knots[9 * w + 3 + a] = nd.state[3 + a];
+      // acc = input of the segment LEAVING this knot (:1129-1149)
+      out_knots[9 * w + 6 + a] =
+          (i + 1 < n) ? nodes[chain[i + 1]].input[a] : 0.0;
+    }
+    if (i + 1 < n) out_times[w] = nodes[chain[i + 1]].dur;
+  }
+  if (is_shot_succ && w < max_knots) {
+    out_times[w - 1 >= 0 ? w - 1 : 0] = t_shot;
+    for (int a = 0; a < 3; ++a) {
+      out_knots[9 * w + a] = goal[a];
+      out_knots[9 * w + 3 + a] = 0.0;  // reference zero end vel
+      out_knots[9 * w + 6 + a] = 0.0;
+    }
+    ++w;
+  }
+  return w;
 }

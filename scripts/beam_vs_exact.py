@@ -93,8 +93,17 @@ def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
 
 
 def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
-              beam: int = 64, margin: float = 0.2, verbose: bool = True):
-    """Returns the aggregate stats dict (and prints a per-case line)."""
+              beam: int = 64, margin: float = 0.2, verbose: bool = True,
+              exact: str = "kino"):
+    """Returns the aggregate stats dict (and prints a per-case line).
+
+    ``exact`` picks the host oracle the beam is gated against:
+    "kino" = native.kino_search (compare22's front-end,
+    kinodynamic_astar.cpp:17-315); "hybrid" = native.hybrid_search
+    (compare2's front-end, hybrid_astar.cpp:219-446, with its
+    setParameterAuto params: max_tau=1, w_time=10, lambda_heu=5,
+    horizon=50 and hard-coded 0.2 m clearance).
+    """
     _force_cpu()
     import jax.numpy as jnp
 
@@ -115,11 +124,19 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
         s6 = np.concatenate([start, np.zeros(3)])
         g6 = np.concatenate([goal, np.zeros(3)])
 
-        pe = native.kino_search(
-            np.asarray(dist), origin, res, s6, g6, margin=margin,
-            max_vel=3.0, max_acc=2.0, max_tau=0.5, goal_r=1e9,
-        )
-        ok_e = bool(pe[4])
+        if exact == "hybrid":
+            ph = native.hybrid_search(
+                np.asarray(dist), origin, res, s6, g6, margin=margin,
+                max_vel=3.0, max_acc=2.0,
+            )
+            ok_e = ph[4] == native.HYBRID_REACH_END and len(ph[3]) >= 1
+            pe = (*ph[:4], ok_e)
+        else:
+            pe = native.kino_search(
+                np.asarray(dist), origin, res, s6, g6, margin=margin,
+                max_vel=3.0, max_acc=2.0, max_tau=0.5, goal_r=1e9,
+            )
+            ok_e = bool(pe[4])
         kb = kinodynamic.search(
             dist, jnp.asarray(origin, jnp.float32), res,
             s6.astype(np.float32), g6.astype(np.float32),
@@ -161,26 +178,42 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
         "jerk_ratio_geomean": gm(ratios_jerk),
         "kino_iters": kino_iters,
         "beam": beam,
+        "exact_arm": exact,
     }
     return stats
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    stats = run_suite(n)
-    print(stats)
+    stats_k = run_suite(n)
+    print(stats_k)
+    stats_h = run_suite(n, exact="hybrid")
+    print(stats_h)
     lines = [
         "# Beam-vs-exact front-end quality (SURVEY.md section 7 parity gate)",
         "",
-        "Exact = native.kino_search (the reference priority-queue kinodynamic",
-        "A*, kinodynamic_astar.cpp:17-315, f64 host port).  Beam = the",
-        "TPU-shaped fixed-iteration batched beam (search/kinodynamic.py).",
-        "Ratios compare the BACK-END-REFINED penalty objective from each",
-        "seed (beam / exact) on cases where both front-ends succeed.",
+        "The TPU front-end is a fixed-iteration batched beam",
+        "(search/kinodynamic.py); the reference ships TWO sequential",
+        "front-ends it consolidates: the kinodynamic A* (compare22,",
+        "kinodynamic_astar.cpp:17-315) and the hybrid A* (compare2,",
+        "hybrid_astar.cpp:219-446).  Both are ported exactly to the host",
+        "engine (native.kino_search / native.hybrid_search, f64) and the",
+        "beam is gated against EACH on the same random pillar+wall case",
+        "distribution.  Ratios compare the BACK-END-REFINED penalty",
+        "objective from each seed (beam / exact) on cases where both",
+        "front-ends succeed.",
+        "",
+        "## vs kinodynamic A* (compare22 front-end)",
         "",
         "| metric | value |",
         "|---|---|",
-    ] + [f"| {k} | {v} |" for k, v in stats.items()]
+    ] + [f"| {k} | {v} |" for k, v in stats_k.items()] + [
+        "",
+        "## vs hybrid A* (compare2 front-end, setParameterAuto params)",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in stats_h.items()]
     with open("BEAM_VS_EXACT.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote BEAM_VS_EXACT.md")

@@ -303,3 +303,19 @@ def test_solve_batch_bos_wp_matches_single():
     np.testing.assert_allclose(
         np.asarray(sol1.dp), np.asarray(solB.dp[1]), rtol=0, atol=1e-6
     )
+
+
+def test_viz_esdf_layers(tmp_path):
+    """Layered ESDF rendering (reference sdf_map.cpp:370-421)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dist, origin, res = _wall_map()
+    ax = viz.plot_esdf_layers(dist, origin, res)
+    assert len(ax.get_images()) == 8  # one layer per level
+    ax2 = viz.plot_esdf_layers(dist, origin, res, z_slice=8, n_layers=4)
+    assert len(ax2.get_images()) == 4
+    plt.savefig(tmp_path / "esdf.png")
+    plt.close("all")

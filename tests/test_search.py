@@ -433,3 +433,31 @@ def test_kino_search_space_time_avoids_moving_box():
         for i in range(n - 1)  # skip the final one-shot goal knot
     ]
     assert min(d) > 0.15
+
+
+def test_beam_vs_hybrid_exact_gate():
+    """Second front-end gate (round-3): the TPU beam vs the exact
+    HYBRID A* (compare2's front-end, native.hybrid_search with
+    setParameterAuto params).  Conservative thresholds; the recorded
+    100-case suite lives in BEAM_VS_EXACT.md (scripts/beam_vs_exact.py
+    runs both this and the kino gate)."""
+    import pytest
+
+    from grad_traj_optimization_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import sys
+    sys.path.insert(0, "scripts")
+    from beam_vs_exact import run_suite
+
+    stats = run_suite(12, seed=9, verbose=False, exact="hybrid")
+    assert stats["exact_arm"] == "hybrid"
+    assert stats["exact_success"] >= stats["n_cases"] - 3
+    assert stats["beam_success"] >= stats["exact_success"] - 3
+    if stats["both_success"] >= 6:
+        # the hybrid front-end's long (max_tau=1) primitives seed
+        # smoother trajectories than the beam's shorter ones; the
+        # 100-case recorded suite measures the gap (BEAM_VS_EXACT.md)
+        assert stats["cost_ratio_geomean"] < 1.6
+        assert stats["time_ratio_geomean"] < 1.5

@@ -102,6 +102,24 @@ class OptimizerConfig:
     # 70+30 split reaches geomean 0.50x the monotone single-seed cost
     # with p99 1.33 vs p99 1.77 for the 50+50 split).
     dual_ms_iters: int = 0
+    # In "dual" mode, the min-snap arm's nonmonotone acceptance window
+    # (0 = same as accept_window).  The never-worse TURBO_SAFE preset
+    # needs a strictly monotone W=1 reference arm (bitwise the
+    # reference schedule) but the short min-snap arm converges better
+    # nonmonotone: W=8 on the ms arm measured gm 0.534 vs 0.558 with
+    # W=1 (scripts/ab_tail_polish.py safe arm vs BENCH safe row).
+    dual_ms_window: int = 0
+    # Post-race polish (dual mode only): after the per-lane best arm is
+    # selected, restart the descent from the winner for this many extra
+    # step-2 iterations (fresh BB state — the restart itself escapes
+    # shallow traps).  Chip-measured at B=1024 (scripts/ab_tail_polish.
+    # py): 30+30+20 polish cuts the dual race's p99 cost ratio 2.73 ->
+    # 1.75 at gm 0.53, 1.11x the reference config's throughput.
+    # Targeted top-K polish (gather the neediest lanes into a smaller
+    # batch) was measured as a DEAD END on this topology: the mid-
+    # pipeline host sync + grid gather costs more than the saved
+    # iterations (1,019/s at avg-70 evals vs 1,590/s polish-all at 80).
+    polish_iters: int = 0
 
     # --- distance-field lookup mode ---
     # "elem"/"row": gather-based (fine on CPU); "mxu": dense separable
@@ -147,6 +165,15 @@ class OptimizerConfig:
             raise ValueError(f"bad accept_window: {self.accept_window}")
         if self.seed_mode not in ("reference", "min_snap", "dual"):
             raise ValueError(f"bad seed_mode: {self.seed_mode}")
+        if self.dual_ms_window < 0:
+            raise ValueError(f"bad dual_ms_window: {self.dual_ms_window}")
+        if self.polish_iters < 0:
+            raise ValueError(f"bad polish_iters: {self.polish_iters}")
+        if self.polish_iters > 0 and self.seed_mode != "dual":
+            raise ValueError(
+                "polish_iters is the dual race's post-race polish; "
+                "single-seed schedules should raise iters_step2 instead"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,4 +273,36 @@ TURBO_FAST_CONFIG = OptimizerConfig(
     seed_mode="dual",
     iters_step2=30,
     dual_ms_iters=30,
+)
+
+# Fast race + post-race polish restart: the measured sweet spot of the
+# round-3 tail campaign (scripts/ab_tail_polish.py, B=1024 on chip):
+# 1,594 solves/s (1.11x the reference config) at geomean cost 0.53x,
+# p95 1.27, p99 1.75.  The frontier around it: +20 more ref-arm iters
+# (50+30+20) = 0.92x speed, gm 0.51, p99 1.29; 70+30+20 = 0.79x, gm
+# 0.50, p99 1.14.  Budget alone does NOT drive p99 to 1.0 — the tail
+# lanes are in converged bad basins (targeted +80 iters left p99 at
+# 2.6) — use TURBO_SAFE when "never worse" matters.
+TURBO_POLISH_CONFIG = OptimizerConfig(
+    accept_window=8,
+    seed_mode="dual",
+    iters_step2=30,
+    dual_ms_iters=30,
+    polish_iters=20,
+)
+
+# Never worse than the reference config, at better-than-reference
+# median: the ref-seed arm IS the reference schedule bitwise (same
+# kernel program: straight-line seed, monotone W=1, 100 iterations), so
+# the per-lane best-of can only improve on it.  Chip-measured at
+# B=1024: geomean cost 0.53x with p90 = p95 = p99 = max = 1.000 and
+# 0 worse lanes, at 1,091 solves/s (0.77x the reference config's rate,
+# ~109x the reference C++ budget).  This is the quality-dominant
+# configuration: strictly better on ~60% of lanes, identical on the
+# rest.
+TURBO_SAFE_CONFIG = OptimizerConfig(
+    seed_mode="dual",
+    iters_step2=100,
+    dual_ms_iters=30,
+    dual_ms_window=8,
 )

@@ -23,7 +23,7 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
-_ABI_VERSION = 4  # must match gtop_abi_version() in gtop_core.cpp
+_ABI_VERSION = 5  # must match gtop_abi_version() in gtop_core.cpp
 
 
 def _stale() -> bool:
@@ -139,7 +139,7 @@ def trilinear(dist, origin, resolution, queries):
 
 
 def _cfg_arr(cfg, steps):
-    """The gtop_solve cfg array (ABI v3, 33 doubles)."""
+    """The gtop_solve cfg array (ABI v5, 35 doubles)."""
     return np.array(
         [
             cfg.w_smooth, cfg.w_collision, cfg.alpha, cfg.d0, cfg.r,
@@ -154,6 +154,8 @@ def _cfg_arr(cfg, steps):
             ],
             float(getattr(cfg, "dual_ms_iters", 0)),
             cfg.alpha_v, cfg.v0, cfg.r_v, cfg.alpha_a, cfg.a0, cfg.r_a,
+            float(getattr(cfg, "polish_iters", 0)),
+            float(getattr(cfg, "dual_ms_window", 0)),
         ],
         dtype=np.float64,
     )

@@ -412,27 +412,39 @@ class GoldenOptimizer:
         seed_mode='dual' races both seeds exactly as solver._combine_dual:
         the reference-seed arm at the full step-2 budget and the min-snap
         arm at ``dual_ms_iters`` (0 = full), keeping the lower-cost arm.
+        ``polish_iters`` then restarts the descent from the winner for
+        that many step-2 iterations (fresh BB state, solver._merge_polish
+        semantics: the lower of winner/polished cost is returned — the
+        polish starts at the winner so it can only improve).
         """
         cfg = self.cfg
         if getattr(cfg, "seed_mode", "reference") == "dual":
             dp_a = self._descend(self.Dp0, steps, cfg.iters_step2)
             ms_iters = getattr(cfg, "dual_ms_iters", 0) or cfg.iters_step2
-            dp_b = self._descend(self.Dp0_min_snap, steps, ms_iters)
+            ms_w = getattr(cfg, "dual_ms_window", 0)
+            dp_b = self._descend(
+                self.Dp0_min_snap, steps, ms_iters, accept_window=ms_w
+            )
             final = max(steps)
             dp = dp_a if (
                 self.cost_only(dp_a, final) <= self.cost_only(dp_b, final)
             ) else dp_b
+            polish = getattr(cfg, "polish_iters", 0)
+            if polish > 0:
+                dp_p = self._descend(dp, (2,), polish)
+                if self.cost_only(dp_p, 2) < self.cost_only(dp, final):
+                    dp = dp_p
         else:
             dp = self._descend(self.Dp0, steps, cfg.iters_step2)
         return dp, self.coeff_from_d(dp)
 
-    def _descend(self, dp0, steps, iters_step2):
+    def _descend(self, dp0, steps, iters_step2, accept_window=0):
         cfg = self.cfg
         dp = dp0.copy()
         lb, ub = self.bounds()
         dp = np.clip(dp, lb, ub)
         use_bb = getattr(cfg, "step_rule", "adaptive") == "bb"
-        W = getattr(cfg, "accept_window", 1)
+        W = accept_window or getattr(cfg, "accept_window", 1)
         for step in steps:
             iters = cfg.iters_step1 if step == 1 else iters_step2
             # fused scheme (must mirror opt/descent.py): one cost+grad per

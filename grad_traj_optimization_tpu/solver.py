@@ -95,13 +95,24 @@ def make_scenario(
 
 def _dual_arm_cfgs(cfg: OptimizerConfig):
     """The two arm configs of seed_mode='dual' (see OptimizerConfig)."""
-    cfg_a = dataclasses.replace(cfg, seed_mode="reference")
+    cfg_a = dataclasses.replace(cfg, seed_mode="reference",
+                                polish_iters=0)
     cfg_b = dataclasses.replace(
         cfg,
         seed_mode="min_snap",
         iters_step2=cfg.dual_ms_iters or cfg.iters_step2,
+        accept_window=cfg.dual_ms_window or cfg.accept_window,
+        polish_iters=0,
     )
     return cfg_a, cfg_b
+
+
+def _polish_cfg(cfg: OptimizerConfig) -> OptimizerConfig:
+    """Config of the post-race polish restart (step 2 only)."""
+    return dataclasses.replace(
+        cfg, seed_mode="reference", polish_iters=0,
+        iters_step2=cfg.polish_iters,
+    )
 
 
 def _combine_dual(sa: Solution, sb: Solution) -> Solution:
@@ -136,6 +147,39 @@ def _combine_dual(sa: Solution, sb: Solution) -> Solution:
     )
 
 
+def _merge_polish(win: Solution, sp: Solution) -> Solution:
+    """Fold a post-race polish run into the race winner.
+
+    The polish starts AT the winner's iterate, so its best-seen cost is
+    <= the winner's up to the fresh-BB first step; per-lane the lower
+    cost wins.  Cost traces concatenate so the monotone envelope spans
+    the full schedule (the polish trace is clamped by the winner's
+    final envelope value).
+    """
+    better = sp.cost < win.cost
+
+    def sel(a, b):
+        bt = better.reshape(better.shape + (1,) * (a.ndim - better.ndim))
+        return jnp.where(bt, b, a)
+
+    tw, tp = win.cost_trace, sp.cost_trace
+    if tw.shape[-1] and tp.shape[-1]:
+        trace = jnp.concatenate(
+            [tw, jnp.minimum(tp, tw[..., -1:])], axis=-1
+        )
+    else:
+        trace = tw
+    return Solution(
+        coeff=sel(win.coeff, sp.coeff),
+        T=win.T,
+        cost=jnp.minimum(win.cost, sp.cost),
+        cost_trace=trace,
+        n_accept=win.n_accept + sp.n_accept,
+        dp=sel(win.dp, sp.dp),
+        status=sel(win.status, sp.status),
+    )
+
+
 def _seed_dp(Df, dep, dp0, lb, ub, cfg: OptimizerConfig):
     """Initial free derivatives per cfg.seed_mode (unbatched)."""
     if cfg.seed_mode == "min_snap":
@@ -151,6 +195,7 @@ def _solve_field(
     steps: tuple[int, ...],
     record_trace: bool,
     bos_wp=None,
+    dp_init=None,
 ) -> Solution:
     wp = waypoints
     T = qp.allocate_times(wp, cfg.mean_v, cfg.init_time)
@@ -163,6 +208,8 @@ def _solve_field(
         bos=None if bos_wp is None else bos_wp[1 : 1 + num_dp // 3],
     )
     dp0 = _seed_dp(Df, dep, dp0, lb, ub, cfg)
+    if dp_init is not None:
+        dp0 = jnp.clip(dp_init, lb, ub)
 
     dp = dp0
     traces = []
@@ -245,8 +292,10 @@ def solve(
             scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
         ):
             batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
-            sol = solve_batch_kernel(
-                batch, cfg=cfg, steps=steps,
+            # route through solve_batch: identical kernel dispatch plus
+            # the dual-race post-polish handling in one place
+            sol = solve_batch(
+                batch, cfg=cfg, steps=steps, record_trace=record_trace,
                 bos_wp=None if bos_wp is None else bos_wp[None],
             )
             return Solution(*jax.tree.map(lambda x: x[0], sol))
@@ -260,12 +309,22 @@ def solve(
 
     if cfg.seed_mode == "dual":
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
-        return _combine_dual(
+        win = _combine_dual(
             solve(scenario, cfg=cfg_a, steps=steps,
                   record_trace=record_trace, bos_wp=bos_wp),
             solve(scenario, cfg=cfg_b, steps=steps,
                   record_trace=record_trace, bos_wp=bos_wp),
         )
+        if cfg.polish_iters > 0:
+            field, grid_shape = penalty.make_field(
+                scenario.dist, scenario.origin, scenario.resolution
+            )
+            sp = _solve_field(
+                field, grid_shape, scenario.waypoints, _polish_cfg(cfg),
+                (2,), record_trace, bos_wp=bos_wp, dp_init=win.dp,
+            )
+            win = _merge_polish(win, sp)
+        return win
     field, grid_shape = penalty.make_field(
         scenario.dist, scenario.origin, scenario.resolution
     )
@@ -284,6 +343,7 @@ def solve_batch(
     steps: tuple[int, ...] = (2,),
     record_trace: bool = False,
     bos_wp=None,
+    dp0=None,
 ) -> Solution:
     """Solve a batch: every leaf of ``scenarios`` has a leading batch axis.
 
@@ -299,12 +359,25 @@ def solve_batch(
     if cfg.seed_mode == "dual":
         # race both seeds through this same dispatch; per-lane best wins
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
-        return _combine_dual(
+        win = _combine_dual(
             solve_batch(scenarios, cfg=cfg_a, steps=steps,
-                        record_trace=record_trace, bos_wp=bos_wp),
+                        record_trace=record_trace, bos_wp=bos_wp,
+                        dp0=dp0),
             solve_batch(scenarios, cfg=cfg_b, steps=steps,
-                        record_trace=record_trace, bos_wp=bos_wp),
+                        record_trace=record_trace, bos_wp=bos_wp,
+                        dp0=dp0),
         )
+        if cfg.polish_iters > 0:
+            # post-race polish: restart every lane's descent from its
+            # winner (fresh BB state).  Polish-ALL, deliberately: the
+            # gather-the-neediest variant measured slower end-to-end
+            # (see OptimizerConfig.polish_iters).
+            sp = solve_batch(
+                scenarios, cfg=_polish_cfg(cfg), steps=(2,),
+                record_trace=record_trace, bos_wp=bos_wp, dp0=win.dp,
+            )
+            win = _merge_polish(win, sp)
+        return win
 
     B = scenarios.waypoints.shape[0]
     grid_shape = scenarios.dist.shape[1:]
@@ -330,7 +403,7 @@ def solve_batch(
             and sk.supports(grid_shape, m * cfg.n_samples, 3 * m - 3, cfg)
         ):
             return solve_batch_kernel(
-                scenarios, cfg=cfg, steps=steps, bos_wp=bos_wp
+                scenarios, cfg=cfg, steps=steps, bos_wp=bos_wp, dp0=dp0
             )
     if scenarios.grid_offset is not None:
         raise ValueError(
@@ -347,7 +420,7 @@ def solve_batch(
         ):
             return solve_batch_fused(
                 scenarios, cfg=cfg, steps=steps, record_trace=record_trace,
-                bos_wp=bos_wp,
+                bos_wp=bos_wp, dp0=dp0,
             )
 
     nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
@@ -359,7 +432,7 @@ def solve_batch(
         bases = jnp.arange(B, dtype=jnp.int32) * nvox
     shared_grid = scenarios.dist[0] if shared else None
 
-    def one(base, grid, origin, resolution, waypoints, bwp):
+    def one(base, grid, origin, resolution, waypoints, bwp, dpi):
         field = penalty.Field(
             flat=flat_all, base=base, origin=origin,
             resolution=resolution,
@@ -367,7 +440,7 @@ def solve_batch(
         )
         return _solve_field(
             field, grid_shape, waypoints, cfg, steps, record_trace,
-            bos_wp=bwp,
+            bos_wp=bwp, dp_init=dpi,
         )
 
     grids = (
@@ -375,7 +448,7 @@ def solve_batch(
     )  # dummy when shared (closed over instead)
     return jax.vmap(one)(
         bases, grids, scenarios.origin, scenarios.resolution,
-        scenarios.waypoints, bos_wp,
+        scenarios.waypoints, bos_wp, dp0,
     )
 
 
@@ -628,6 +701,12 @@ def solve_batch_kernel(
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
 
     if cfg.seed_mode == "dual":
+        if cfg.polish_iters > 0:
+            raise ValueError(
+                "post-race polish lives in solve_batch (it composes the"
+                " race and the restart); call solve_batch instead of"
+                " solve_batch_kernel for polish_iters > 0"
+            )
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
         return _combine_dual(
             solve_batch_kernel(scenarios, cfg=cfg_a, steps=steps,
@@ -696,6 +775,7 @@ def solve_batch_fused(
     record_trace: bool = False,
     interpret: bool = False,
     bos_wp=None,
+    dp0=None,
 ) -> Solution:
     """Batch-first solve using the fused Pallas trilinear kernel.
 
@@ -712,14 +792,17 @@ def solve_batch_fused(
         return _combine_dual(
             solve_batch_fused(scenarios, cfg=cfg_a, steps=steps,
                               record_trace=record_trace,
-                              interpret=interpret, bos_wp=bos_wp),
+                              interpret=interpret, bos_wp=bos_wp,
+                              dp0=dp0),
             solve_batch_fused(scenarios, cfg=cfg_b, steps=steps,
                               record_trace=record_trace,
-                              interpret=interpret, bos_wp=bos_wp),
+                              interpret=interpret, bos_wp=bos_wp,
+                              dp0=dp0),
         )
 
     wp = scenarios.waypoints  # (B, m+1, 3)
     B = wp.shape[0]
+    dp_init = dp0
     T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
         wp
     )
@@ -741,6 +824,8 @@ def solve_batch_fused(
             jax.vmap(qp.min_snap_dp)(Df, bctx.dep.Rpp, bctx.dep.Rfp),
             lb, ub,
         )
+    if dp_init is not None:
+        dp0 = jnp.clip(dp_init, lb, ub)
 
     grids = scenarios.dist
     if grids.shape[0] == 1 and B > 1:

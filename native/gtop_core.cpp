@@ -89,7 +89,7 @@ extern "C" {
 
 // cfg-array ABI version of gtop_solve (bump when cfg fields are added
 // or entry points change so stale .so files fail loudly)
-int gtop_abi_version() { return 4; }
+int gtop_abi_version() { return 5; }
 
 // Exact unsigned EDT of an occupancy grid (x-major layout, matching the
 // reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
@@ -320,6 +320,8 @@ struct SolveCfg {
   int accept_window;  // nonmonotone acceptance window (1 = monotone)
   int seed_mode;      // 0 = reference, 1 = min_snap, 2 = dual
   int dual_ms_iters;  // step-2 budget of the min-snap arm (0 = iters2)
+  int dual_ms_window; // min-snap arm accept window (0 = accept_window)
+  int polish_iters;   // dual post-race polish restart (0 = off)
   // velocity/acceleration penalties (grad_traj_optimizer.cpp:517-535;
   // usage :382-407, weights wv = wa = 1 fixed at :412); 0 disables
   double alpha_v, v0, r_v, alpha_a, a0, r_a;
@@ -537,6 +539,8 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
   cfg.dual_ms_iters = int(c[26]);
   cfg.alpha_v = c[27]; cfg.v0 = c[28]; cfg.r_v = c[29];
   cfg.alpha_a = c[30]; cfg.a0 = c[31]; cfg.r_a = c[32];
+  cfg.polish_iters = int(c[33]);
+  cfg.dual_ms_window = int(c[34]);
 
   MapRef mp{dist, nx, ny, nz, {origin[0], origin[1], origin[2]},
             resolution};
@@ -609,12 +613,12 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
 
   // the full multi-phase descent from one seed (iters2 parameterized so
   // the dual min-snap arm can run a shorter step-2 budget)
-  auto run_schedule = [&](std::vector<double> dpv,
-                          int iters2_budget) {
+  auto run_schedule = [&](std::vector<double> dpv, int iters2_budget,
+                          int steps_mask, int w_override = 0) {
     if (ndp > 0) clip(dpv);
     double final_cost = 0.0;
     for (int step : {1, 2}) {
-    if (!(cfg.steps_mask & step)) continue;
+    if (!(steps_mask & step)) continue;
     int iters = (step == 1) ? cfg.iters1 : iters2_budget;
     if (ndp == 0) {
       final_cost = cost_and_grad(deps, mp, cfg, Df, dpv.data(), step,
@@ -636,7 +640,7 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
     gn0 = std::sqrt(gn0) + 1e-12;
     double lr = use_bb ? cfg.lr0 / gn0 : cfg.lr0;
     double scale = 1.0;
-    const int W = cfg.accept_window;
+    const int W = w_override > 0 ? w_override : cfg.accept_window;
     std::vector<double> hist(size_t(W), cost);
     int ptr = 0;
     double best_c = cost;
@@ -699,14 +703,15 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
 
   double final_cost;
   if (cfg.seed_mode == 1) {
-    auto r = run_schedule(minsnap_seed(), cfg.iters2);
+    auto r = run_schedule(minsnap_seed(), cfg.iters2, cfg.steps_mask);
     final_cost = r.first;
     dpv = std::move(r.second);
   } else if (cfg.seed_mode == 2) {
     // dual: race both seeds, keep the better arm (solver._combine_dual)
     int it_ms = cfg.dual_ms_iters > 0 ? cfg.dual_ms_iters : cfg.iters2;
-    auto ra = run_schedule(dpv, cfg.iters2);
-    auto rb = run_schedule(minsnap_seed(), it_ms);
+    auto ra = run_schedule(dpv, cfg.iters2, cfg.steps_mask);
+    auto rb = run_schedule(minsnap_seed(), it_ms, cfg.steps_mask,
+                           cfg.dual_ms_window);
     bool a_ok = std::isfinite(ra.first);
     bool b_ok = std::isfinite(rb.first);
     if (b_ok && (!a_ok || rb.first < ra.first)) {
@@ -716,8 +721,17 @@ double gtop_solve(const float* dist, int nx, int ny, int nz,
       final_cost = ra.first;
       dpv = std::move(ra.second);
     }
+    if (cfg.polish_iters > 0) {
+      // post-race polish restart from the winner (step 2 only; fresh
+      // BB state — mirrors solver._merge_polish / golden optimize())
+      auto rp = run_schedule(dpv, cfg.polish_iters, 2);
+      if (std::isfinite(rp.first) && rp.first < final_cost) {
+        final_cost = rp.first;
+        dpv = std::move(rp.second);
+      }
+    }
   } else {
-    auto r = run_schedule(dpv, cfg.iters2);
+    auto r = run_schedule(dpv, cfg.iters2, cfg.steps_mask);
     final_cost = r.first;
     dpv = std::move(r.second);
   }

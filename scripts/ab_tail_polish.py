@@ -126,17 +126,23 @@ def main():
 
     W = 8
 
-    def arm_cfgs(i_ref, i_ms):
-        a = OptimizerConfig(accept_window=W, iters_step2=i_ref)
+    def arm_cfgs(i_ref, i_ms, w_ref=None):
+        a = OptimizerConfig(
+            accept_window=w_ref if w_ref is not None else W,
+            iters_step2=i_ref,
+        )
         b = OptimizerConfig(
             accept_window=W, seed_mode="min_snap", iters_step2=i_ms
         )
         return a, b
 
-    def pipeline(i_ref, i_ms, k_sel, p_iters):
+    def pipeline(i_ref, i_ms, k_sel, p_iters, w_ref=None, n_polish=1):
         """One full schedule; returns (cost (B,), wall_s).  k_sel=None
-        -> no polish; k_sel='all' -> polish every lane."""
-        cfg_a, cfg_b = arm_cfgs(i_ref, i_ms)
+        -> no polish; k_sel='all' -> polish every lane (n_polish
+        restarts of p_iters each).  w_ref overrides the ref arm's
+        accept window (1 = the exact reference schedule -> per-lane
+        ratio <= 1.0 bitwise)."""
+        cfg_a, cfg_b = arm_cfgs(i_ref, i_ms, w_ref)
         cfg_p = (
             OptimizerConfig(accept_window=W, iters_step2=p_iters)
             if p_iters else None
@@ -149,10 +155,16 @@ def main():
             if cfg_p is None:
                 return win.cost
             if k_sel == "all":
-                sp = solve_mod.solve_batch_kernel(
-                    scns, cfg=cfg_p, steps=(2,), dp0=win.dp
-                )
-                return sp.cost
+                dp, cost = win.dp, win.cost
+                for _ in range(n_polish):
+                    sp = solve_mod.solve_batch_kernel(
+                        scns, cfg=cfg_p, steps=(2,), dp0=dp
+                    )
+                    dp = jnp.where(
+                        (sp.cost < cost)[:, None, None], sp.dp, dp
+                    )
+                    cost = jnp.minimum(cost, sp.cost)
+                return cost
             # host selection from the traces + arm disagreement
             tr = np.asarray(win.cost_trace)
             c = np.asarray(win.cost)
@@ -187,17 +199,28 @@ def main():
         return cost, min(times)
 
     arms = [
-        ("race30+30", 30, 30, None, 0),
-        ("race30+30_pALLx20", 30, 30, "all", 20),
-        ("race30+30_p256x40", 30, 30, 256, 40),
-        ("race30+30_p128x80", 30, 30, 128, 80),
-        ("race25+25_p256x60", 25, 25, 256, 60),
-        ("race40+25_p192x60", 40, 25, 192, 60),
+        # (name, i_ref, i_ms, k_sel, p_iters, w_ref, n_polish)
+        ("race30+30", 30, 30, None, 0, None, 1),
+        ("race30+30_pALLx20", 30, 30, "all", 20, None, 1),
+        ("race30+30_p256x40", 30, 30, 256, 40, None, 1),
+        ("race30+30_p128x80", 30, 30, 128, 80, None, 1),
+        ("race25+25_p256x60", 25, 25, 256, 60, None, 1),
+        ("race40+25_p192x60", 40, 25, 192, 60, None, 1),
+        # round 2: never-worse construction + restart effects
+        ("safe_st100W1+ms30", 100, 30, None, 0, 1, 1),
+        ("race70+30_pALLx20", 70, 30, "all", 20, None, 1),
+        ("race50+30_pALLx20", 50, 30, "all", 20, None, 1),
+        ("race30+30_pALLx20x2", 30, 30, "all", 20, None, 2),
+        ("race30+30_pALLx40", 30, 30, "all", 40, None, 1),
     ]
-    for name, i_ref, i_ms, k_sel, p in arms:
-        cost, wall = pipeline(i_ref, i_ms, k_sel, p)
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for name, i_ref, i_ms, k_sel, p, w_ref, n_pol in arms:
+        if only and only not in name:
+            continue
+        cost, wall = pipeline(i_ref, i_ms, k_sel, p, w_ref, n_pol)
         avg_evals = i_ref + i_ms + (
-            0 if not p else (p if k_sel == "all" else p * k_sel / BATCH)
+            0 if not p else
+            (p * n_pol if k_sel == "all" else p * k_sel / BATCH)
         )
         stats(cost, BATCH / wall, name, {"avg_evals": round(avg_evals, 1)})
 

@@ -401,3 +401,81 @@ def test_native_hybrid_init_mode_and_geometric_heu():
             dist, origin, res, s, g, heu_mode=mode, max_iters=60000
         )
         assert st == native.HYBRID_REACH_END, mode
+
+
+def test_native_solve_polish_matches_jax_and_golden():
+    """polish_iters (the round-3 dual post-race restart) agrees across
+    the JAX path, the f64 golden oracle, and the C++ engine — the
+    descent-schedule lockstep rule (CLAUDE.md rule 3)."""
+    from grad_traj_optimization_tpu.reference_impl import golden
+
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.25,
+        map_size=(10.0, 10.0, 4.0),
+    )
+    pts = []
+    for x in np.arange(-2.0, 2.0, map_cfg.resolution):
+        for z in np.arange(0.1, 4.0, map_cfg.resolution):
+            if abs(x) > 0.6:
+                pts.append((x, 0.0, z))
+    obss = np.array(pts)
+    wp = np.array(
+        [
+            [0.0, -3.0, 2.0],
+            [0.3, -1.5, 2.0],
+            [0.0, 0.0, 2.0],
+            [-0.3, 1.5, 2.0],
+            [0.0, 3.0, 2.0],
+        ]
+    )
+    cfg = OptimizerConfig(
+        iters_step1=6, iters_step2=12, accept_window=4,
+        seed_mode="dual", dual_ms_iters=8, dual_ms_window=2,
+        polish_iters=6,
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(scn, cfg=cfg, steps=(2,), record_trace=False)
+    # polish can only improve on the race winner
+    cfg0 = OptimizerConfig(
+        iters_step1=6, iters_step2=12, accept_window=4,
+        seed_mode="dual", dual_ms_iters=8,
+    )
+    sol0 = solve_mod.solve(scn, cfg=cfg0, steps=(2,), record_trace=False)
+    assert float(sol.cost) <= float(sol0.cost) + 1e-6
+
+    coeff_n, times_n, cost_n = native.solve(
+        np.asarray(scn.dist), map_cfg.origin, map_cfg.resolution, wp,
+        cfg, steps=(2,),
+    )
+    gmap = golden.GoldenSDFMap(
+        np.asarray(map_cfg.origin), map_cfg.resolution, map_cfg.map_size
+    )
+    for p_obs in obss:
+        gmap.set_occupancy(np.asarray(p_obs, np.float64))
+    gmap.update_esdf()
+    opt = golden.GoldenOptimizer(gmap, cfg)
+    opt.setup(wp)
+    dp_g, coeff_g = opt.optimize(steps=(2,))
+    cost_g = opt.cost_only(dp_g, 2)
+
+    # C++ vs golden: same f64 algorithm, near-identical
+    assert abs(cost_n - cost_g) / max(abs(cost_g), 1.0) < 1e-6
+    np.testing.assert_allclose(coeff_n, coeff_g, rtol=1e-5, atol=1e-6)
+    # JAX f32 vs f64 oracles within the parity budget
+    ts = np.linspace(1e-3, times_n.sum() - 1e-3, 150)
+    pos_j = np.asarray(
+        poly.evaluate(sol.coeff, sol.T, jnp.asarray(ts, jnp.float32))
+    )
+    edges = np.cumsum(times_n)
+    pos_n = np.zeros((len(ts), 3))
+    for i, t in enumerate(ts):
+        s = min(
+            int(np.searchsorted(edges, t, side="right")),
+            len(times_n) - 1,
+        )
+        tl = t - (edges[s - 1] if s > 0 else 0.0)
+        basis = np.array([tl**j for j in range(6)])
+        pos_n[i] = coeff_n[s] @ basis
+    dev = np.abs(pos_j - pos_n).max()
+    assert dev < 1e-3, f"native/JAX positional deviation {dev}"
+    assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3

@@ -277,8 +277,11 @@ TURBO_FAST_CONFIG = OptimizerConfig(
 
 # Fast race + post-race polish restart: the measured sweet spot of the
 # round-3 tail campaign (scripts/ab_tail_polish.py, B=1024 on chip):
-# 1,594 solves/s (1.11x the reference config) at geomean cost 0.53x,
-# p95 1.27, p99 1.75.  The frontier around it: +20 more ref-arm iters
+# geomean cost 0.53x at p95 1.27 / p99 1.75.  Throughput: 1,594
+# solves/s as three separate jit calls (the A/B script), 1,728 (1.21x
+# the reference config) through solve_batch's single-jit composition
+# (BENCH_r03) — the fused program saves two tunnel round-trips and
+# lets XLA overlap the arms.  The frontier around it: +20 more ref-arm iters
 # (50+30+20) = 0.92x speed, gm 0.51, p99 1.29; 70+30+20 = 0.79x, gm
 # 0.50, p99 1.14.  Budget alone does NOT drive p99 to 1.0 — the tail
 # lanes are in converged bad basins (targeted +80 iters left p99 at

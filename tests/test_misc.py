@@ -319,3 +319,45 @@ def test_viz_esdf_layers(tmp_path):
     assert len(ax2.get_images()) == 4
     plt.savefig(tmp_path / "esdf.png")
     plt.close("all")
+
+
+def test_solve_batch_polish_matches_single():
+    """The dual post-race polish composes identically through the
+    batched and single-scenario solve paths."""
+    dist, origin, res = _off_center_gap_map()
+    wps = np.stack([
+        [0.0, -3.0, 2.0], [1.5, -1.0, 2.0], [1.5, 1.0, 2.0],
+        [0.0, 3.0, 2.0],
+    ]).astype(np.float32)
+    cfg = OptimizerConfig(
+        iters_step1=4, iters_step2=10, accept_window=4,
+        seed_mode="dual", dual_ms_iters=6, dual_ms_window=2,
+        polish_iters=5,
+    )
+    scn1 = solve_mod.Scenario(
+        dist=jnp.asarray(dist),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(res, jnp.float32),
+        waypoints=jnp.asarray(wps),
+    )
+    sol1 = solve_mod.solve(scn1, cfg=cfg, steps=(2,), record_trace=False)
+    B = 2
+    scnB = solve_mod.Scenario(
+        dist=jnp.asarray(dist)[None],
+        origin=jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (B, 3)),
+        resolution=jnp.full((B,), res, jnp.float32),
+        waypoints=jnp.broadcast_to(jnp.asarray(wps), (B, 4, 3)),
+    )
+    solB = solve_mod.solve_batch(
+        scnB, cfg=cfg, steps=(2,), record_trace=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol1.dp), np.asarray(solB.dp[0]), rtol=0, atol=1e-6
+    )
+    # polish never hurts: cost <= the raw race at the same arms
+    cfg0 = OptimizerConfig(
+        iters_step1=4, iters_step2=10, accept_window=4,
+        seed_mode="dual", dual_ms_iters=6, dual_ms_window=2,
+    )
+    sol0 = solve_mod.solve(scn1, cfg=cfg0, steps=(2,), record_trace=False)
+    assert float(sol1.cost) <= float(sol0.cost) + 1e-6

@@ -456,8 +456,12 @@ def test_beam_vs_hybrid_exact_gate():
     assert stats["exact_success"] >= stats["n_cases"] - 3
     assert stats["beam_success"] >= stats["exact_success"] - 3
     if stats["both_success"] >= 6:
-        # the hybrid front-end's long (max_tau=1) primitives seed
-        # smoother trajectories than the beam's shorter ones; the
-        # 100-case recorded suite measures the gap (BEAM_VS_EXACT.md)
+        # recorded 100-case suite (BEAM_VS_EXACT.md): hybrid exact
+        # 100/100, beam 96/100; refined-cost geomean 1.13 (the hybrid's
+        # long max_tau=1 primitives trade duration for penalty), while
+        # the beam's seeds refine to SHORTER (time gm 0.75) and
+        # SMOOTHER (jerk gm 0.58) trajectories.  Conservative bounds
+        # on the 12-case subsample:
         assert stats["cost_ratio_geomean"] < 1.6
-        assert stats["time_ratio_geomean"] < 1.5
+        assert stats["time_ratio_geomean"] < 1.2
+        assert stats["jerk_ratio_geomean"] < 1.0

@@ -94,7 +94,7 @@ def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
 
 def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
               beam: int = 64, margin: float = 0.2, verbose: bool = True,
-              exact: str = "kino"):
+              exact: str = "kino", beam_max_tau: float = 0.5):
     """Returns the aggregate stats dict (and prints a per-case line).
 
     ``exact`` picks the host oracle the beam is gated against:
@@ -141,7 +141,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             dist, jnp.asarray(origin, jnp.float32), res,
             s6.astype(np.float32), g6.astype(np.float32),
             margin=margin, max_vel=3.0, max_acc=2.0,
-            max_iters=kino_iters, beam=beam,
+            max_iters=kino_iters, beam=beam, max_tau=beam_max_tau,
         )
         ok_b = bool(kb.reached)
         n_exact += ok_e
@@ -178,6 +178,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
         "jerk_ratio_geomean": gm(ratios_jerk),
         "kino_iters": kino_iters,
         "beam": beam,
+        "beam_max_tau": beam_max_tau,
         "exact_arm": exact,
     }
     return stats

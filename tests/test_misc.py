@@ -46,6 +46,105 @@ def test_rrt_finds_corridor_through_gap():
         assert d >= 0.29
 
 
+def _gap_wall_map(gap_center_x):
+    """A y=0 wall with one gap of half-width 0.8 around gap_center_x."""
+    origin = np.array([-5.0, -5.0, 0.0])
+    res = 0.25
+    pts = [
+        (x, 0.0, z)
+        for x in np.arange(-5.0, 5.0, res)
+        for z in np.arange(0.1, 4.0, res)
+        if abs(x - gap_center_x) > 0.8
+    ]
+    occ = sdf.rasterize(
+        jnp.asarray(np.array(pts), jnp.float32),
+        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
+    )
+    return np.asarray(sdf.edt(occ, res)), origin, res
+
+
+def test_rrt_incremental_map_update_repairs_tree():
+    """RRTpathReEvaluate/ReConnect/treeRepair analogue: a map change that
+    closes the flown corridor invalidates the stale branch, and continued
+    growth re-routes through the new gap (path_finder.cpp:1065-1554)."""
+    dist_a, origin, res = _gap_wall_map(0.0)
+    planner = rrt.RRTPlanner(
+        dist_a, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=1,
+    )
+    assert planner.grow(1500)
+    before = planner.result()
+    assert before.reached
+    # the original path threads the x=0 gap
+    assert np.min(np.abs(before.path[:, 0])) < 0.9
+
+    # wall shifts: the x=0 gap closes, a new one opens at x=3
+    dist_b, _, _ = _gap_wall_map(3.0)
+    planner.update_map(dist_b, repair_iters=100)
+    # stale corridor nodes near (0, 0) must be gone
+    for i, c in enumerate(planner.centers):
+        if planner.valid[i] and abs(c[1]) < 0.4:
+            assert rrt._dist_at(dist_b, origin, res, c) >= 0.29
+    if not np.isfinite(planner.best_cost):
+        assert planner.grow(2500)
+    after = planner.result()
+    assert after.reached
+    # the repaired path threads the new gap, not the closed one
+    crossing = after.path[np.abs(after.path[:, 1]) < 0.8]
+    assert crossing.size and np.all(np.abs(crossing[:, 0] - 3.0) < 1.6)
+    for a in range(len(after.path) - 1):
+        gap = np.linalg.norm(after.path[a + 1] - after.path[a])
+        assert gap <= after.radii[a] + after.radii[a + 1] + 1e-6
+    for p in after.path:
+        assert rrt._dist_at(dist_b, origin, res, p) >= 0.29
+
+
+def test_rrt_reset_root_commits_and_recasts_costs():
+    """resetRoot analogue (path_finder.cpp:302-375): committing a point
+    along the best path advances the root, drops the nodes behind it, and
+    recasts costs from the new root."""
+    dist, origin, res = _gap_wall_map(0.0)
+    planner = rrt.RRTPlanner(
+        dist, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=1,
+    )
+    assert planner.grow(1500)
+    path = planner.result().path
+    n_valid_before = int(np.count_nonzero(planner.valid))
+    commit = path[1]  # just past the start node, well short of the goal
+    assert planner.reset_root(commit)
+    assert not planner.commit_end
+    assert planner.parents[planner.root] == -1
+    assert planner.costs[planner.root] == 0.0
+    after = planner.result()
+    assert after.reached
+    # the new root's ball contains the commit point
+    assert (
+        np.linalg.norm(after.path[0] - commit)
+        < planner.radii[planner.root]
+    )
+    assert int(np.count_nonzero(planner.valid)) <= n_valid_before
+    # committing inside the goal-reaching ball flags terminal state
+    planner.reset_root(planner.goal)
+    assert planner.commit_end
+
+
+def test_rrt_update_map_unchanged_keeps_path():
+    dist, origin, res = _gap_wall_map(0.0)
+    planner = rrt.RRTPlanner(
+        dist, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=1,
+    )
+    assert planner.grow(1500)
+    cost_before = planner.best_cost
+    assert planner.update_map(dist, repair_iters=0)
+    assert planner.result().reached
+    assert planner.best_cost <= cost_before + 1e-9
+
+
 def test_rrt_unreachable_reports_failure():
     origin = np.array([-5.0, -5.0, 0.0])
     res = 0.25

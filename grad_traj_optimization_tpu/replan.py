@@ -362,3 +362,168 @@ def replan_loop(
         if results[-1].reached_goal:
             break
     return results
+
+
+@dataclasses.dataclass
+class RRTReplanConfig:
+    replan_dt: float = 0.5        # seconds flown per tick
+    goal_tol: float = 0.5
+    max_ticks: int = 40
+    init_iters: int = 2000        # first RRTpathFind budget
+    grow_iters: int = 400         # per-tick refine budget (RRTpathRefine)
+    repair_iters: int = 200       # treeRepair budget after a map change
+    rdp_epsilon: float = 0.4
+    min_bos: float = 0.3
+    seed: int = 0
+
+
+def replan_loop_rrt(
+    dist_grid,
+    origin,
+    resolution,
+    start,
+    goal,
+    map_update: Callable | None = None,
+    rcfg: RRTReplanConfig = RRTReplanConfig(),
+    ocfg: OptimizerConfig = OptimizerConfig(),
+    steps=(2,),
+):
+    """Receding-horizon flight on ONE persistent RRT* tree.
+
+    This is the reference's actual RRT flight loop (path_finder.cpp):
+    per tick the tree is refined (`RRTpathFind` rounds :713-804), map
+    changes revalidate and repair it in place (RRTpathReEvaluate/
+    ReConnect/treeRepair :1065-1554) instead of replanning from scratch,
+    the traced corridor (tracePath/getPath :806-887) is refined by the
+    penalty optimizer with per-waypoint safe-ball bounds
+    (``solve(bos_wp=...)``), the vehicle flies ``replan_dt`` along the
+    refined trajectory, and the flown-past part of the tree is committed
+    away (resetRoot/costRecast :302-375).
+
+    ``start``/``goal`` are (3,) positions (the RRT state space is
+    geometric; endpoint derivatives are zero, as in the reference's
+    corridor consumer).  ``map_update(t, dist_grid) -> grid | None``
+    has `replan_loop`'s contract.  Returns a list of TickResult; a tick
+    whose tree has no surviving path after repair + regrowth hovers in
+    place (search_ok=False) and retries next tick.
+
+    Note: the corridor's waypoint count varies across ticks, so each new
+    count compiles its own back-end program — fine for the real-time
+    loop this models (compile once per count, then reuse).
+    """
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.search import rrt
+
+    start = np.asarray(start, np.float64).reshape(3)
+    goal = np.asarray(goal, np.float64).reshape(3)
+    origin = jnp.asarray(origin, jnp.float32)
+    planner = rrt.RRTPlanner(
+        np.asarray(dist_grid), np.asarray(origin), float(resolution),
+        start=start, goal=goal, seed=rcfg.seed,
+    )
+    planner.grow(rcfg.init_iters)
+
+    state = np.concatenate([start, np.zeros(3)])
+    t_now = 0.0
+    results: list[TickResult] = []
+
+    def _hover_tick():
+        nonlocal t_now
+        t_now += rcfg.replan_dt
+        hold = jnp.zeros((1, 3, 6), jnp.float32).at[0, :, 0].set(
+            jnp.asarray(state[:3], jnp.float32)
+        )
+        dmin = float(
+            sdf.distance_at(
+                dist_grid, origin, jnp.asarray(resolution, jnp.float32),
+                jnp.asarray(state[None, :3], jnp.float32),
+            )[0]
+        )
+        results.append(
+            TickResult(
+                state=state.copy(), coeff=np.asarray(hold),
+                times=np.array([rcfg.replan_dt]), reached_goal=False,
+                search_ok=False, min_clearance=dmin,
+            )
+        )
+
+    for tick in range(rcfg.max_ticks):
+        if np.linalg.norm(goal - state[:3]) <= rcfg.goal_tol:
+            break
+
+        # 0. map changes repair the tree IN PLACE (the reference's
+        #    rcvAddMap/rcvDelMap → tree-repair path)
+        if map_update is not None:
+            new_grid = map_update(t_now, dist_grid)
+            if new_grid is not None:
+                if new_grid.shape != dist_grid.shape:
+                    raise ValueError(
+                        "map_update must keep the grid shape "
+                        f"({new_grid.shape} != {dist_grid.shape})"
+                    )
+                dist_grid = new_grid
+                planner.update_map(
+                    np.asarray(new_grid), repair_iters=rcfg.repair_iters
+                )
+
+        # 1. refine the tree; regrow harder if the path was lost
+        planner.grow(rcfg.grow_iters)
+        if not np.isfinite(planner.best_cost):
+            state[3:] = 0.0  # hover (reference NO_PATH semantics)
+            _hover_tick()
+            continue
+
+        # 2. trace the corridor and refine it under safe-ball bounds
+        res_rrt = planner.result()
+        wps, bos_wp = rrt.corridor_waypoints(
+            res_rrt, rcfg.rdp_epsilon, min_bos=rcfg.min_bos
+        )
+        wps = np.asarray(wps, np.float64)
+        wps[0] = state[:3]  # fly from where the vehicle actually is
+        if len(wps) == 2:   # a straight shot has no free derivatives
+            wps = np.insert(wps, 1, 0.5 * (wps[0] + wps[1]), axis=0)
+            bos_wp = np.insert(bos_wp, 1, min(bos_wp[0], bos_wp[1]))
+        scn = solve_mod.Scenario(
+            dist=dist_grid, origin=origin,
+            resolution=jnp.asarray(resolution, jnp.float32),
+            waypoints=jnp.asarray(wps, jnp.float32),
+        )
+        sol = solve_mod.solve(
+            scn, cfg=ocfg, steps=steps, record_trace=False,
+            bos_wp=jnp.asarray(bos_wp, jnp.float32),
+        )
+
+        # 3. fly replan_dt along the refined trajectory
+        t_fly = min(rcfg.replan_dt, float(jnp.sum(sol.T)))
+        p, v, _, _, dmin = _fly_tick(
+            sol.coeff, sol.T, jnp.asarray(t_fly, jnp.float32), dist_grid,
+            origin, jnp.asarray(resolution, jnp.float32),
+        )
+        t_now += t_fly
+        state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
+            np.float64
+        )
+
+        # 4. commit the flown-past tree (resetRoot); failures (vehicle
+        #    outside every path ball after a sharp refinement) just skip
+        #    the commit — the tree stays valid, only uncommitted.  Once
+        #    the commit point is inside the END node's ball the reference
+        #    flags commit_end (terminal: the remaining path is one safe
+        #    ball) — we stop committing and let the per-tick refinement
+        #    finish the approach to goal_tol.
+        if not planner.commit_end:
+            planner.reset_root(state[:3])
+
+        results.append(
+            TickResult(
+                state=state.copy(), coeff=np.asarray(sol.coeff),
+                times=np.asarray(sol.T),
+                reached_goal=bool(
+                    np.linalg.norm(goal - state[:3]) <= rcfg.goal_tol
+                ),
+                search_ok=True, min_clearance=float(dmin),
+            )
+        )
+        if results[-1].reached_goal:
+            break
+    return results

@@ -147,6 +147,70 @@ def test_replan_wall_appears_mid_flight():
     assert crossed
 
 
+def test_replan_rrt_persistent_tree_reroutes():
+    """Receding-horizon flight on ONE persistent RRT* tree (the
+    reference's actual RRT loop: RRTpathFind rounds + resetRoot commits
+    + treeRepair under map changes, path_finder.cpp:302-375, 713-804,
+    1065-1554): the vehicle launches toward a gap at x=0; mid-flight the
+    gap closes and a new one opens at x=3, and the repaired tree must
+    carry the flight through the new gap."""
+    res = 0.25
+    origin = np.array([-5.0, -5.0, 0.0])
+    shape = (40, 40, 16)
+
+    def gap_wall(gap_x):
+        pts = [
+            (x, y, z)
+            for x in np.arange(-5.0, 5.0, res)
+            for y in (0.0, res)
+            for z in np.arange(0.1, 4.0, res)
+            if abs(x - gap_x) > 0.9
+        ]
+        occ = sdf.rasterize(
+            jnp.asarray(np.array(pts), jnp.float32),
+            jnp.asarray(origin, jnp.float32), res, shape,
+        )
+        return sdf.edt(occ, res)
+
+    dist_a = gap_wall(0.0)
+    dist_b = gap_wall(3.0)
+    t_shift = 0.4  # after the first flown tick, ~2.5 m short of the wall
+
+    def map_update(t, grid):
+        return dist_b if t >= t_shift and grid is not dist_b else None
+
+    rcfg = replan.RRTReplanConfig(
+        replan_dt=0.5, max_ticks=30, init_iters=1500, grow_iters=300,
+        repair_iters=150, seed=1,
+    )
+    ocfg = OptimizerConfig(iters_step1=4, iters_step2=12)
+    results = replan.replan_loop_rrt(
+        dist_a, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        map_update=map_update, rcfg=rcfg, ocfg=ocfg,
+    )
+    assert results[-1].reached_goal
+    states = np.stack([r.state for r in results])
+    # every flown state keeps clearance against the FINAL map (early
+    # states are far from the wall, so one check serves both maps)
+    d_states = np.asarray(sdf.distance_at(
+        dist_b, jnp.asarray(origin, jnp.float32), res,
+        jnp.asarray(states[:, :3], jnp.float32),
+    ))
+    assert (d_states > 0.2).all(), d_states
+    # the wall crossing threads the NEW gap, not the closed one
+    crossed = False
+    prev_x, prev_y = 0.0, -3.0
+    for x, y in zip(states[:, 0], states[:, 1]):
+        if prev_y < 0.125 <= y:
+            f = (0.125 - prev_y) / max(y - prev_y, 1e-9)
+            x_cross = prev_x + f * (x - prev_x)
+            assert 1.9 < x_cross < 4.1, f"crossed wall at x={x_cross}"
+            crossed = True
+        prev_x, prev_y = x, y
+    assert crossed
+
+
 def test_harness_suite_and_summary(tmp_path):
     dist, origin, res = _wall_map()
     cases = [

@@ -481,8 +481,29 @@ def replan_loop_rrt(
         wps = np.asarray(wps, np.float64)
         wps[0] = state[:3]  # fly from where the vehicle actually is
         if len(wps) == 2:   # a straight shot has no free derivatives
-            wps = np.insert(wps, 1, 0.5 * (wps[0] + wps[1]), axis=0)
-            bos_wp = np.insert(bos_wp, 1, min(bos_wp[0], bos_wp[1]))
+            # insert a CERTIFIED interior point: the full corridor node
+            # nearest the chord midpoint.  The chord midpoint itself may
+            # lie up to rdp_epsilon off the certified path (RDP keeps
+            # only endpoints when every node is within epsilon of the
+            # chord), i.e. possibly inside an obstacle — a tight bound
+            # box there would pin the optimizer in collision.
+            mid = 0.5 * (wps[0] + wps[1])
+            full_p = np.asarray(res_rrt.path, np.float64)
+            if len(full_p) > 2:
+                full_r = np.asarray(res_rrt.radii, np.float64)
+                j = 1 + int(np.argmin(
+                    np.linalg.norm(full_p[1:-1] - mid, axis=1)
+                ))
+                wps = np.insert(wps, 1, full_p[j], axis=0)
+                bos_wp = np.insert(
+                    bos_wp, 1, max(float(full_r[j]), rcfg.min_bos)
+                )
+            else:
+                # 2-node corridor: the chord IS a collision-checked
+                # tree edge inside two overlapping safe balls, so its
+                # midpoint is certified free
+                wps = np.insert(wps, 1, mid, axis=0)
+                bos_wp = np.insert(bos_wp, 1, min(bos_wp[0], bos_wp[1]))
         scn = solve_mod.Scenario(
             dist=dist_grid, origin=origin,
             resolution=jnp.asarray(resolution, jnp.float32),

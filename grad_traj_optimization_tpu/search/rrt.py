@@ -258,7 +258,12 @@ class RRTPlanner:
         n = len(self.centers)
         repair_regions: list[tuple[np.ndarray, float]] = []
 
-        # 1. shrink-only radius refresh; cut failed nodes + branches
+        # 1. shrink-only radius refresh; cut failed nodes + branches.
+        #    One adjacency build serves every cut: marking an already-cut
+        #    branch invalid again is idempotent, so the entry-time lists
+        #    give the same result as a per-cut rebuild at O(n) total
+        #    instead of O(n * n_failed)
+        adj = self._children_adjacency()
         for i in range(n):
             if not self.valid[i]:
                 continue
@@ -268,7 +273,7 @@ class RRTPlanner:
                 repair_regions.append(
                     (self.centers[i].copy(), max(new_r, self.min_radius))
                 )
-                for j in self._subtree(i):
+                for j in self._subtree(i, children=adj):
                     self.valid[j] = False
 
         # 2. BFS from root over still-overlapping edges → reachable set
@@ -379,13 +384,19 @@ class RRTPlanner:
         chain.reverse()
         return chain
 
-    def _subtree(self, i):
+    def _children_adjacency(self):
+        """Parent→children lists over currently-valid nodes (O(n))."""
         n = len(self.centers)
         children: list[list[int]] = [[] for _ in range(n)]
         for j in range(n):
             p = self.parents[j]
             if j != self.root and self.valid[j] and p >= 0:
                 children[p].append(j)
+        return children
+
+    def _subtree(self, i, children=None):
+        if children is None:
+            children = self._children_adjacency()
         out = {i}
         stack = [i]
         while stack:
@@ -400,11 +411,7 @@ class RRTPlanner:
         """Top-down exact cost refresh from the root (the array analogue
         of costRecast + the reference's per-branch g updates)."""
         n = len(self.centers)
-        children: list[list[int]] = [[] for _ in range(n)]
-        for j in range(n):
-            p = self.parents[j]
-            if j != self.root and self.valid[j] and p >= 0:
-                children[p].append(j)
+        children = self._children_adjacency()
         seen = set()
         if self.valid[self.root]:
             self.costs[self.root] = 0.0

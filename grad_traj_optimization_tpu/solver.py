@@ -405,15 +405,9 @@ def solve_batch(
             return solve_batch_kernel(
                 scenarios, cfg=cfg, steps=steps, bos_wp=bos_wp, dp0=dp0
             )
-    if scenarios.grid_offset is not None:
-        raise ValueError(
-            "exact-cropped scenarios (grid_offset set) require the "
-            "whole-descent kernel path: lookup_mode='auto' on TPU with "
-            "kernel-supported shapes, or call solve_batch_kernel "
-            "directly (interpret=True off-TPU)"
-        )
         if (
-            tp.supports(grid_shape, m * cfg.n_samples)
+            scenarios.grid_offset is None
+            and tp.supports(grid_shape, m * cfg.n_samples)
             and cfg.lookup_precision == "highest"
             and per_scenario_grids
             and (cfg.lookup_mode == "fused" or on_tpu)
@@ -422,6 +416,13 @@ def solve_batch(
                 scenarios, cfg=cfg, steps=steps, record_trace=record_trace,
                 bos_wp=bos_wp, dp0=dp0,
             )
+    if scenarios.grid_offset is not None:
+        raise ValueError(
+            "exact-cropped scenarios (grid_offset set) require the "
+            "whole-descent kernel path: lookup_mode='auto' on TPU with "
+            "kernel-supported shapes, or call solve_batch_kernel "
+            "directly (interpret=True off-TPU)"
+        )
 
     nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
     flat_all = scenarios.dist.reshape(-1)

@@ -9,20 +9,11 @@ from grad_traj_optimization_tpu.config import MapConfig, OptimizerConfig
 from grad_traj_optimization_tpu.fields import sdf
 from grad_traj_optimization_tpu.search import rrt
 
+from conftest import gap_wall_map
+
 
 def _wall_map():
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    pts = []
-    for x in np.arange(-5.0, 5.0, res):
-        for z in np.arange(0.1, 4.0, res):
-            if abs(x) > 0.8:
-                pts.append((x, 0.0, z))
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    return np.asarray(sdf.edt(occ, res)), origin, res
+    return gap_wall_map(-0.8, 0.8)
 
 
 def test_rrt_finds_corridor_through_gap():
@@ -48,19 +39,7 @@ def test_rrt_finds_corridor_through_gap():
 
 def _gap_wall_map(gap_center_x):
     """A y=0 wall with one gap of half-width 0.8 around gap_center_x."""
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    pts = [
-        (x, 0.0, z)
-        for x in np.arange(-5.0, 5.0, res)
-        for z in np.arange(0.1, 4.0, res)
-        if abs(x - gap_center_x) > 0.8
-    ]
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    return np.asarray(sdf.edt(occ, res)), origin, res
+    return gap_wall_map(gap_center_x - 0.8, gap_center_x + 0.8)
 
 
 def test_rrt_incremental_map_update_repairs_tree():
@@ -146,19 +125,8 @@ def test_rrt_update_map_unchanged_keeps_path():
 
 
 def test_rrt_unreachable_reports_failure():
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    # a full wall with no gap, EDT rebuilt consistently
-    pts = [
-        (x, 0.0, z)
-        for x in np.arange(-5.0, 5.0, res)
-        for z in np.arange(0.1, 4.0, res)
-    ]
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    dist = np.asarray(sdf.edt(occ, res))
+    # a full wall with no gap (empty gap interval)
+    dist, origin, res = gap_wall_map(1.0, 1.0)
     result = rrt.plan(
         dist, origin, res,
         start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
@@ -251,21 +219,8 @@ def test_random_scenarios_device_deterministic_and_bounded():
 
 
 def _off_center_gap_map():
-    """Wall across y=0, two cells thick, gap only at x in [0.8, 2.4]."""
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    pts = [
-        (x, y, z)
-        for x in np.arange(-5.0, 5.0, res)
-        for y in (0.0, res)
-        for z in np.arange(0.1, 4.0, res)
-        if not (0.8 < x < 2.4)
-    ]
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    return np.asarray(sdf.edt(occ, res)), origin, res
+    """Wall across y=0, two cells thick, gap only at x in (0.8, 2.4)."""
+    return gap_wall_map(0.8, 2.4, thickness_cells=2)
 
 
 def _traj_min_clearance(dist, origin, res, sol, n=300):

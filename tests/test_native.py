@@ -10,6 +10,8 @@ from grad_traj_optimization_tpu.config import MapConfig, OptimizerConfig
 from grad_traj_optimization_tpu.core import poly
 from grad_traj_optimization_tpu.fields import sdf
 
+from conftest import gap_wall_map
+
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native toolchain unavailable"
 )
@@ -314,21 +316,8 @@ def test_native_solve_nonmonotone_dual_matches_jax():
 
 
 def _gap_wall_map(gap_lo=0.8, gap_hi=2.4):
-    """Two-cell wall across y=0 with a gap at x in [gap_lo, gap_hi]."""
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    pts = [
-        (x, y, z)
-        for x in np.arange(-5, 5, res)
-        for y in (0.0, res)
-        for z in np.arange(0.1, 4, res)
-        if not (gap_lo < x < gap_hi)
-    ]
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    return np.asarray(sdf.edt(occ, res)), origin, res
+    """Two-cell wall across y=0 with a gap at x in (gap_lo, gap_hi)."""
+    return gap_wall_map(gap_lo, gap_hi, thickness_cells=2)
 
 
 def test_native_hybrid_search_through_gap():

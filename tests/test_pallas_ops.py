@@ -187,9 +187,13 @@ def test_solve_kernel_zwin_is_exact():
     nz = grid_shape[2]
     zc = tp._pick_zc(nz)
     nzp = tp._round_up(nz, zc)
-    misc = np.zeros((1, 8), np.float32)
+    # full (1, 16) misc layout: [origin(3), res, c_ff, crop offset(3),
+    # FULL-map extents(3), pad] — lanes 8:11 MUST hold the grid shape or
+    # the in-bounds clips degenerate and the comparison is vacuous
+    misc = np.zeros((1, 16), np.float32)
     misc[0, :3] = map_cfg.origin
     misc[0, 3] = map_cfg.resolution
+    misc[0, 8:11] = grid_shape
     misc = jnp.asarray(misc)
     rng = np.random.default_rng(0)
     valid = jnp.ones((tp.SP, 1), bool)
@@ -208,6 +212,10 @@ def test_solve_kernel_zwin_is_exact():
         d2, g2 = sk._lookup(gp, pos, misc, grid_shape, nzp, zc,
                             zwin=2, valid=valid, functional=True)
         n_fit += int(trial % 2 == 0)
+        # non-degeneracy guard: a mis-built misc (e.g. zero full-map
+        # extents) collapses the lookup to constants and makes the
+        # bitwise comparison vacuous
+        assert float(np.asarray(d1).std()) > 0.0
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     assert n_fit > 0

@@ -7,20 +7,11 @@ from grad_traj_optimization_tpu import harness, replan
 from grad_traj_optimization_tpu.config import OptimizerConfig
 from grad_traj_optimization_tpu.fields import sdf
 
+from conftest import gap_wall_map
+
 
 def _wall_map():
-    origin = np.array([-5.0, -5.0, 0.0])
-    res = 0.25
-    pts = []
-    for x in np.arange(-5.0, 5.0, res):
-        for z in np.arange(0.1, 4.0, res):
-            if abs(x) > 0.8:
-                pts.append((x, 0.0, z))
-    occ = sdf.rasterize(
-        jnp.asarray(np.array(pts), jnp.float32),
-        jnp.asarray(origin, jnp.float32), res, (40, 40, 16),
-    )
-    return sdf.edt(occ, res), origin, res
+    return gap_wall_map(-0.8, 0.8)
 
 
 def test_replan_reaches_goal_static():
@@ -159,18 +150,7 @@ def test_replan_rrt_persistent_tree_reroutes():
     shape = (40, 40, 16)
 
     def gap_wall(gap_x):
-        pts = [
-            (x, y, z)
-            for x in np.arange(-5.0, 5.0, res)
-            for y in (0.0, res)
-            for z in np.arange(0.1, 4.0, res)
-            if abs(x - gap_x) > 0.9
-        ]
-        occ = sdf.rasterize(
-            jnp.asarray(np.array(pts), jnp.float32),
-            jnp.asarray(origin, jnp.float32), res, shape,
-        )
-        return sdf.edt(occ, res)
+        return gap_wall_map(gap_x - 0.9, gap_x + 0.9, thickness_cells=2)[0]
 
     dist_a = gap_wall(0.0)
     dist_b = gap_wall(3.0)

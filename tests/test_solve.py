@@ -190,6 +190,48 @@ def test_solve_batch_fused_matches_vmap_path():
         assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
 
 
+def test_solve_batch_dispatches_to_fused(monkeypatch):
+    """solve_batch ROUTES lookup_mode='fused' batches to
+    solve_batch_fused (a dispatch-order regression once hid the fused
+    path behind the cropped-scenario guard), and cropped scenarios
+    raise before any fused dispatch."""
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(
+        iters_step1=4, iters_step2=10, lookup_mode="fused"
+    )
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    batch = solve_mod.Scenario(
+        dist=scn.dist[None],
+        origin=scn.origin[None],
+        resolution=scn.resolution[None],
+        waypoints=jnp.asarray(wp, jnp.float32)[None],
+    )
+    import pytest
+
+    class _Routed(Exception):
+        pass
+
+    def stub(*a, **k):
+        raise _Routed
+
+    monkeypatch.setattr(solve_mod, "solve_batch_fused", stub)
+    with pytest.raises(_Routed):
+        solve_mod.solve_batch(batch, cfg=cfg, steps=(2,))
+
+    # cropped scenarios (grid_offset set) must hit the kernel-path
+    # guard, never the fused dispatch
+    cropped = solve_mod.Scenario(
+        dist=batch.dist[:, :32, :32, :],
+        origin=batch.origin,
+        resolution=batch.resolution,
+        waypoints=batch.waypoints,
+        grid_offset=jnp.zeros((1, 3), jnp.int32),
+        grid_full=jnp.asarray([[40, 40, 16]], jnp.int32),
+    )
+    with pytest.raises(ValueError, match="exact-cropped"):
+        solve_mod.solve_batch(cropped, cfg=cfg, steps=(2,))
+
+
 def test_text_input_fixture_runs_two_step():
     """The legacy text_input scenario (launch/text_input.launch:4-79,
     example_text_input.cpp flow: step 1 then step 2) end to end."""

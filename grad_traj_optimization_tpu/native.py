@@ -91,6 +91,26 @@ def _load():
         f64p, f64p, f64p,
     ]
     lib.gtop_solve_batch.restype = None
+    lib.gtop_rrt_create.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f64p,
+        ctypes.c_double, f64p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
+    ]
+    lib.gtop_rrt_create.restype = ctypes.c_void_p
+    lib.gtop_rrt_destroy.argtypes = [ctypes.c_void_p]
+    lib.gtop_rrt_destroy.restype = None
+    lib.gtop_rrt_grow.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gtop_rrt_best_cost.argtypes = [ctypes.c_void_p]
+    lib.gtop_rrt_best_cost.restype = ctypes.c_double
+    lib.gtop_rrt_commit_end.argtypes = [ctypes.c_void_p]
+    lib.gtop_rrt_n_nodes.argtypes = [ctypes.c_void_p]
+    lib.gtop_rrt_path_len.argtypes = [ctypes.c_void_p]
+    lib.gtop_rrt_get_path.argtypes = [ctypes.c_void_p, f64p, f64p]
+    lib.gtop_rrt_get_path.restype = None
+    lib.gtop_rrt_reset_root.argtypes = [ctypes.c_void_p, f64p]
+    lib.gtop_rrt_update_map.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int,
+    ]
     _LIB = lib
     return lib
 
@@ -354,3 +374,92 @@ def kino_search(
         knots[:k, 0:3], knots[:k, 3:6], knots[:k, 6:9], times[: k - 1],
         True,
     )
+
+
+class NativeRRTPlanner:
+    """Native incremental safe-ball informed RRT* (gtop_rrt_*).
+
+    The C++ engine for the reference's receding-horizon rrtPathFinder
+    (path_finder.cpp: RRTpathFind :713-804, resetRoot/costRecast
+    :302-375, RRTpathReEvaluate/ReConnect/treeRepair :1065-1554),
+    mirroring the semantics of :class:`search.rrt.RRTPlanner` with the
+    same method surface, so ``replan.replan_loop_rrt`` can hold either.
+    ~30x the Python planner's insertion rate, which is what keeps a
+    full grow+repair cycle inside a real-time replan tick.
+
+    RNG streams differ from the NumPy planner (mt19937 vs PCG64): trees
+    are behaviorally, not bitwise, comparable.
+    """
+
+    def __init__(self, dist_grid, origin, resolution, start, goal,
+                 steer_len: float = 1.5, min_radius: float = 0.3,
+                 goal_bias: float = 0.15, radius_margin: float | None = None,
+                 seed: int = 0):
+        self._lib = _load()
+        dist = np.ascontiguousarray(dist_grid, dtype=np.float32)
+        self._shape = dist.shape
+        self.goal = np.asarray(goal, dtype=np.float64).copy()
+        self.min_radius = float(min_radius)
+        o = np.ascontiguousarray(origin, dtype=np.float64)
+        s = np.ascontiguousarray(start, dtype=np.float64)
+        g = np.ascontiguousarray(self.goal)
+        nx, ny, nz = dist.shape
+        self._h = self._lib.gtop_rrt_create(
+            _f32p(dist), nx, ny, nz, _f64p(o), float(resolution),
+            _f64p(s), _f64p(g), float(steer_len), float(min_radius),
+            float(goal_bias),
+            -1.0 if radius_margin is None else float(radius_margin),
+            int(seed),
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.gtop_rrt_destroy(h)
+            self._h = None
+
+    @property
+    def best_cost(self) -> float:
+        return float(self._lib.gtop_rrt_best_cost(self._h))
+
+    @property
+    def commit_end(self) -> bool:
+        return bool(self._lib.gtop_rrt_commit_end(self._h))
+
+    def grow(self, n_iters: int) -> bool:
+        return bool(self._lib.gtop_rrt_grow(self._h, int(n_iters)))
+
+    def reset_root(self, commit_target) -> bool:
+        t = np.ascontiguousarray(commit_target, dtype=np.float64)
+        return bool(self._lib.gtop_rrt_reset_root(self._h, _f64p(t)))
+
+    def update_map(self, dist_grid, repair_iters: int = 60) -> bool:
+        dist = np.ascontiguousarray(dist_grid, dtype=np.float32)
+        if dist.shape != self._shape:
+            raise ValueError(
+                f"update_map must keep the grid shape "
+                f"({dist.shape} != {self._shape})"
+            )
+        return bool(
+            self._lib.gtop_rrt_update_map(
+                self._h, _f32p(dist), int(repair_iters)
+            )
+        )
+
+    def result(self):
+        from grad_traj_optimization_tpu.search.rrt import RRTResult
+
+        k = int(self._lib.gtop_rrt_path_len(self._h))
+        n_valid = int(self._lib.gtop_rrt_n_nodes(self._h))
+        if k == 0:
+            return RRTResult(
+                path=np.zeros((0, 3)), radii=np.zeros(0),
+                reached=False, cost=np.inf, n_nodes=n_valid,
+            )
+        path = np.zeros((k, 3), np.float64)
+        radii = np.zeros(k, np.float64)
+        self._lib.gtop_rrt_get_path(self._h, _f64p(path), _f64p(radii))
+        return RRTResult(
+            path=path, radii=radii, reached=True,
+            cost=self.best_cost, n_nodes=n_valid,
+        )

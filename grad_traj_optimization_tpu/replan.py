@@ -375,6 +375,7 @@ class RRTReplanConfig:
     rdp_epsilon: float = 0.4
     min_bos: float = 0.3
     seed: int = 0
+    backend: str = "python"       # "python" | "native" tree engine
 
 
 def replan_loop_rrt(
@@ -417,7 +418,18 @@ def replan_loop_rrt(
     start = np.asarray(start, np.float64).reshape(3)
     goal = np.asarray(goal, np.float64).reshape(3)
     origin = jnp.asarray(origin, jnp.float32)
-    planner = rrt.RRTPlanner(
+    if rcfg.backend == "native":
+        # the C++ tree engine (gtop_rrt_*): same method surface, ~100x
+        # the insertion rate — what keeps grow+repair inside a
+        # real-time tick
+        from grad_traj_optimization_tpu import native as native_mod
+
+        planner_cls = native_mod.NativeRRTPlanner
+    elif rcfg.backend == "python":
+        planner_cls = rrt.RRTPlanner
+    else:
+        raise ValueError(f"unknown rrt backend {rcfg.backend!r}")
+    planner = planner_cls(
         np.asarray(dist_grid), np.asarray(origin), float(resolution),
         start=start, goal=goal, seed=rcfg.seed,
     )
@@ -473,13 +485,23 @@ def replan_loop_rrt(
             _hover_tick()
             continue
 
-        # 2. trace the corridor and refine it under safe-ball bounds
+        # 2. trace the corridor, drop the part already flown past (the
+        #    root only advances when a ball contains the state, so the
+        #    traced path can trail the vehicle — rrt.trim_passed), and
+        #    refine the forward remainder under safe-ball bounds
         res_rrt = planner.result()
-        wps, bos_wp = rrt.corridor_waypoints(
-            res_rrt, rcfg.rdp_epsilon, min_bos=rcfg.min_bos
+        path_f, radii_f = rrt.trim_passed(
+            res_rrt.path, res_rrt.radii, state[:3]
         )
+        path_c = np.concatenate([state[None, :3], path_f], axis=0)
+        radii_c = np.concatenate([radii_f[:1], radii_f])
+        from grad_traj_optimization_tpu.search import rdp as rdp_mod
+
+        wps, idx = rdp_mod.simplify(
+            path_c, rcfg.rdp_epsilon, return_index=True
+        )
+        bos_wp = np.maximum(radii_c[idx], rcfg.min_bos)
         wps = np.asarray(wps, np.float64)
-        wps[0] = state[:3]  # fly from where the vehicle actually is
         if len(wps) == 2:   # a straight shot has no free derivatives
             # insert a CERTIFIED interior point: the full corridor node
             # nearest the chord midpoint.  The chord midpoint itself may
@@ -488,9 +510,9 @@ def replan_loop_rrt(
             # chord), i.e. possibly inside an obstacle — a tight bound
             # box there would pin the optimizer in collision.
             mid = 0.5 * (wps[0] + wps[1])
-            full_p = np.asarray(res_rrt.path, np.float64)
+            full_p = path_c
             if len(full_p) > 2:
-                full_r = np.asarray(res_rrt.radii, np.float64)
+                full_r = radii_c
                 j = 1 + int(np.argmin(
                     np.linalg.norm(full_p[1:-1] - mid, axis=1)
                 ))

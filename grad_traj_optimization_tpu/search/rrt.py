@@ -509,6 +509,41 @@ def corridor_waypoints(
     return wps, bos_wp
 
 
+def trim_passed(path, radii, pos):
+    """Drop corridor nodes the vehicle has already flown past.
+
+    Projects ``pos`` onto the path polyline and keeps everything after
+    the closest segment.  The receding-horizon loop needs this because a
+    root commit (resetRoot) only advances when a path ball CONTAINS the
+    flown state (path_finder.cpp:302-363); when the refined trajectory
+    cuts a corner outside the balls, the traced path still starts at the
+    old root and the refinement corridor would pin an interior waypoint
+    BEHIND the vehicle — the optimizer then shapes a backtracking
+    trajectory whose first flown window nearly cancels, stalling the
+    flight.
+
+    Returns (path', radii') — the forward remainder, always ending at
+    the original final node (the goal); may be length 1.
+    """
+    path = np.asarray(path, np.float64)
+    radii = np.asarray(radii, np.float64)
+    pos = np.asarray(pos, np.float64)
+    if len(path) <= 2:
+        return path[1:], radii[1:]
+    best_s, best_d = 0, np.inf
+    for s in range(len(path) - 1):
+        a, b = path[s], path[s + 1]
+        ab = b - a
+        L2 = float(ab @ ab)
+        t = 0.0 if L2 < 1e-12 else float(
+            np.clip((pos - a) @ ab / L2, 0.0, 1.0)
+        )
+        d = float(np.linalg.norm(a + t * ab - pos))
+        if d < best_d:
+            best_d, best_s = d, s
+    return path[best_s + 1:], radii[best_s + 1:]
+
+
 def _frame(a1):
     """Orthonormal frame with first axis a1."""
     e = np.array([1.0, 0.0, 0.0])

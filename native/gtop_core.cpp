@@ -1499,3 +1499,510 @@ extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
   }
   return w;
 }
+
+// ---------------------------------------------------------------------------
+// Safe-ball informed RRT* with the receding-horizon tree API — the native
+// engine for the reference's rrtPathFinder (path_finder.{h,cpp}) /
+// rrgPathFinder machinery, mirroring the semantics of the Python planner
+// (grad_traj_optimization_tpu/search/rrt.py RRTPlanner) node for node:
+//
+//  * nodes are safe balls (center + EDT-derived clearance radius,
+//    rrgPathFinder.cpp:96-110); edges require overlapping balls;
+//  * goal-biased uniform sampling, switching to the informed prolate
+//    spheroid once a solution exists (path_finder.cpp:420-478);
+//  * choose-parent + rewire insertion (:480-509, 592-705);
+//  * resetRoot/costRecast mid-flight root commits (:302-375);
+//  * RRTpathReEvaluate/ReConnect/treeRepair under map changes
+//    (:1065-1554): shrink-only radii, branch cuts, orphan reconnection,
+//    best-path re-evaluation, repair sampling around failure regions.
+//
+// RNG streams differ from the NumPy planner (std::mt19937_64 vs PCG64),
+// so cross-checks are behavioral (corridor validity, repair routing),
+// not bitwise.  C ABI: handle-based so the tree persists across calls —
+// the replan loop holds ONE tree for the whole flight.
+// ---------------------------------------------------------------------------
+
+#include <random>
+
+namespace {
+
+struct RRTTree {
+  // map
+  std::vector<float> dist;
+  int nx = 0, ny = 0, nz = 0;
+  double origin[3] = {0, 0, 0}, res = 0.1, size[3] = {0, 0, 0};
+  // params
+  double steer_len, min_radius, goal_bias, radius_margin;
+  double goal[3];
+  // nodes (flat SoA, exactly the Python layout)
+  std::vector<std::array<double, 3>> centers;
+  std::vector<double> radii, costs;
+  std::vector<int> parents;
+  std::vector<char> valid;
+  int root = 0;
+  std::vector<int> goal_nodes;  // EndList analogue
+  int best_goal_node = -1;
+  double best_cost = kInf;
+  bool commit_end = false;
+  std::mt19937_64 rng;
+
+  double dist_at(const double* p) const {  // rrt.py::_dist_at
+    int ix = (int)std::floor((p[0] - origin[0]) / res);
+    int iy = (int)std::floor((p[1] - origin[1]) / res);
+    int iz = (int)std::floor((p[2] - origin[2]) / res);
+    if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz)
+      return -1.0;
+    return dist[((size_t)ix * ny + iy) * nz + iz];
+  }
+  double clearance(const double* p) const {
+    return dist_at(p) - radius_margin;
+  }
+
+  double urand() {
+    return std::uniform_real_distribution<double>(0.0, 1.0)(rng);
+  }
+  double nrand() { return std::normal_distribution<double>(0.0, 1.0)(rng); }
+
+  // goal-biased / informed-spheroid sample (path_finder.cpp:420-478)
+  void sample(double* out) {
+    if (urand() < goal_bias) {
+      for (int a = 0; a < 3; ++a) out[a] = goal[a];
+      return;
+    }
+    if (std::isfinite(best_cost)) {
+      const auto& rc = centers[root];
+      double a1[3], c_min = 0.0;
+      for (int a = 0; a < 3; ++a) {
+        a1[a] = goal[a] - rc[a];
+        c_min += a1[a] * a1[a];
+      }
+      c_min = std::sqrt(c_min);
+      double c_best = std::max(best_cost, c_min + 1e-6);
+      double center[3];
+      for (int a = 0; a < 3; ++a) {
+        center[a] = 0.5 * (rc[a] + goal[a]);
+        a1[a] /= std::max(c_min, 1e-9);
+      }
+      double r1 = c_best / 2.0;
+      double r23 = std::sqrt(std::max(c_best * c_best - c_min * c_min,
+                                      1e-9)) / 2.0;
+      // orthonormal frame with first axis a1 (rrt.py::_frame)
+      double e[3] = {1, 0, 0};
+      if (std::fabs(a1[0]) > 0.9) { e[0] = 0; e[1] = 1; }
+      double b[3] = {a1[1] * e[2] - a1[2] * e[1],
+                     a1[2] * e[0] - a1[0] * e[2],
+                     a1[0] * e[1] - a1[1] * e[0]};
+      double nb = std::sqrt(b[0] * b[0] + b[1] * b[1] + b[2] * b[2]);
+      for (int a = 0; a < 3; ++a) b[a] /= nb;
+      double c2[3] = {a1[1] * b[2] - a1[2] * b[1],
+                      a1[2] * b[0] - a1[0] * b[2],
+                      a1[0] * b[1] - a1[1] * b[0]};
+      for (int tries = 0; tries < 1000; ++tries) {
+        double u[3] = {nrand(), nrand(), nrand()};
+        double nu = std::sqrt(u[0] * u[0] + u[1] * u[1] + u[2] * u[2]);
+        double scale = std::cbrt(urand()) / std::max(nu, 1e-300);
+        for (int a = 0; a < 3; ++a) u[a] *= scale;
+        bool ok = true;
+        for (int a = 0; a < 3; ++a) {
+          out[a] = center[a] + a1[a] * (r1 * u[0]) + b[a] * (r23 * u[1]) +
+                   c2[a] * (r23 * u[2]);
+          if (!(out[a] > origin[a] && out[a] < origin[a] + size[a]))
+            ok = false;
+        }
+        if (ok) return;
+      }
+      // pathological spheroid (entirely off-map): fall through to uniform
+    }
+    for (int a = 0; a < 3; ++a) out[a] = origin[a] + urand() * size[a];
+  }
+
+  // steer + choose-parent + rewire (rrt.py::_try_insert;
+  // path_finder.cpp:480-509, 592-705).  Returns new index or -1.
+  int try_insert(double x0, double x1, double x2) {
+    double x[3] = {x0, x1, x2};
+    const size_t n = centers.size();
+    // nearest valid node
+    int near = -1;
+    double d2n = kInf;
+    for (size_t i = 0; i < n; ++i) {
+      if (!valid[i]) continue;
+      double dx = centers[i][0] - x[0], dy = centers[i][1] - x[1],
+             dz = centers[i][2] - x[2];
+      double d2 = dx * dx + dy * dy + dz * dz;
+      if (d2 < d2n) { d2n = d2; near = (int)i; }
+    }
+    double dn = std::sqrt(d2n);
+    if (near < 0 || !std::isfinite(dn) || dn < 1e-9) return -1;
+    double s = std::min(1.0, steer_len / dn);
+    for (int a = 0; a < 3; ++a)
+      x[a] = centers[near][a] + (x[a] - centers[near][a]) * s;
+
+    double r = clearance(x);
+    if (r < min_radius) return -1;
+
+    // connectable = valid && ball overlap; parent = min cost + d
+    std::vector<double> d(n);
+    int parent = -1;
+    double new_cost = kInf;
+    for (size_t i = 0; i < n; ++i) {
+      double dx = centers[i][0] - x[0], dy = centers[i][1] - x[1],
+             dz = centers[i][2] - x[2];
+      d[i] = std::sqrt(dx * dx + dy * dy + dz * dz);
+      if (valid[i] && d[i] <= radii[i] + r) {
+        double c = costs[i] + d[i];
+        if (c < new_cost) { new_cost = c; parent = (int)i; }
+      }
+    }
+    if (parent < 0 || !std::isfinite(new_cost)) return -1;
+
+    centers.push_back({x[0], x[1], x[2]});
+    radii.push_back(r);
+    parents.push_back(parent);
+    costs.push_back(new_cost);
+    valid.push_back(1);
+    int i_new = (int)centers.size() - 1;
+
+    // rewire improved neighbors through the new node
+    for (size_t j = 0; j < n; ++j) {
+      if ((int)j == root || !valid[j] || d[j] > radii[j] + r) continue;
+      if (costs[j] > new_cost + d[j]) {
+        parents[j] = i_new;
+        costs[j] = new_cost + d[j];
+      }
+    }
+
+    // goal reachable from the new ball? (EndList bookkeeping)
+    double dg = std::sqrt((goal[0] - x[0]) * (goal[0] - x[0]) +
+                          (goal[1] - x[1]) * (goal[1] - x[1]) +
+                          (goal[2] - x[2]) * (goal[2] - x[2]));
+    if (dg <= r) {
+      goal_nodes.push_back(i_new);
+      if (new_cost + dg < best_cost) {
+        best_cost = new_cost + dg;
+        best_goal_node = i_new;
+      }
+    }
+    return i_new;
+  }
+
+  std::vector<std::vector<int>> children_adjacency() const {
+    std::vector<std::vector<int>> ch(centers.size());
+    for (size_t j = 0; j < centers.size(); ++j)
+      if ((int)j != root && valid[j] && parents[j] >= 0)
+        ch[parents[j]].push_back((int)j);
+    return ch;
+  }
+
+  void subtree_mark(int i, const std::vector<std::vector<int>>& ch,
+                    std::vector<char>& mark) const {
+    std::vector<int> stack{i};
+    mark[i] = 1;
+    while (!stack.empty()) {
+      int a = stack.back();
+      stack.pop_back();
+      for (int b : ch[a])
+        if (!mark[b]) { mark[b] = 1; stack.push_back(b); }
+    }
+  }
+
+  void recompute_costs() {  // costRecast analogue (top-down refresh)
+    auto ch = children_adjacency();
+    std::vector<char> seen(centers.size(), 0);
+    if (valid[root]) {
+      costs[root] = 0.0;
+      seen[root] = 1;
+      std::vector<int> stack{root};
+      while (!stack.empty()) {
+        int a = stack.back();
+        stack.pop_back();
+        for (int b : ch[a]) {
+          if (seen[b]) continue;
+          double dx = centers[a][0] - centers[b][0],
+                 dy = centers[a][1] - centers[b][1],
+                 dz = centers[a][2] - centers[b][2];
+          costs[b] = costs[a] + std::sqrt(dx * dx + dy * dy + dz * dz);
+          seen[b] = 1;
+          stack.push_back(b);
+        }
+      }
+    }
+    for (size_t i = 0; i < centers.size(); ++i)
+      if (valid[i] && !seen[i]) valid[i] = 0;
+  }
+
+  void reevaluate_best() {  // feasibleEndList scan
+    std::vector<int> kept;
+    for (int i : goal_nodes) {
+      if (!valid[i]) continue;
+      double dx = goal[0] - centers[i][0], dy = goal[1] - centers[i][1],
+             dz = goal[2] - centers[i][2];
+      if (std::sqrt(dx * dx + dy * dy + dz * dz) <= radii[i])
+        kept.push_back(i);
+    }
+    goal_nodes.swap(kept);
+    best_goal_node = -1;
+    best_cost = kInf;
+    for (int i : goal_nodes) {
+      double dx = goal[0] - centers[i][0], dy = goal[1] - centers[i][1],
+             dz = goal[2] - centers[i][2];
+      double c = costs[i] + std::sqrt(dx * dx + dy * dy + dz * dz);
+      if (c < best_cost) { best_cost = c; best_goal_node = i; }
+    }
+  }
+
+  std::vector<int> chain_of(int i) const {
+    std::vector<int> chain{i};
+    while (parents[chain.back()] >= 0) chain.push_back(parents[chain.back()]);
+    std::reverse(chain.begin(), chain.end());
+    return chain;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gtop_rrt_create(const float* dist, int nx, int ny, int nz,
+                      const double* origin, double res, const double* start,
+                      const double* goal, double steer_len, double min_radius,
+                      double goal_bias, double radius_margin, uint64_t seed) {
+  RRTTree* t = new RRTTree();
+  t->dist.assign(dist, dist + (size_t)nx * ny * nz);
+  t->nx = nx;
+  t->ny = ny;
+  t->nz = nz;
+  t->res = res;
+  for (int a = 0; a < 3; ++a) {
+    t->origin[a] = origin[a];
+    t->goal[a] = goal[a];
+  }
+  t->size[0] = nx * res;
+  t->size[1] = ny * res;
+  t->size[2] = nz * res;
+  t->steer_len = steer_len;
+  t->min_radius = min_radius;
+  t->goal_bias = goal_bias;
+  // default margin: max(0.15, 0.87*res) — the cell-center EDT
+  // overestimates clearance to the obstacle region by up to
+  // res*sqrt(3)/2 (reference margin 0.15, rrgPathFinder.cpp:96-110)
+  t->radius_margin =
+      radius_margin >= 0.0 ? radius_margin : std::max(0.15, 0.87 * res);
+  t->rng.seed(seed);
+  double r0 = t->clearance(start);
+  t->centers.push_back({start[0], start[1], start[2]});
+  t->radii.push_back(std::max(r0, min_radius));
+  t->parents.push_back(-1);
+  t->costs.push_back(0.0);
+  t->valid.push_back(1);
+  return t;
+}
+
+void gtop_rrt_destroy(void* h) { delete (RRTTree*)h; }
+
+// RRTpathFind sampling rounds; returns 1 if a path to goal exists.
+int gtop_rrt_grow(void* h, int iters) {
+  RRTTree* t = (RRTTree*)h;
+  double x[3];
+  for (int k = 0; k < iters; ++k) {
+    t->sample(x);
+    t->try_insert(x[0], x[1], x[2]);
+  }
+  return std::isfinite(t->best_cost) ? 1 : 0;
+}
+
+double gtop_rrt_best_cost(void* h) { return ((RRTTree*)h)->best_cost; }
+int gtop_rrt_commit_end(void* h) { return ((RRTTree*)h)->commit_end ? 1 : 0; }
+
+int gtop_rrt_n_nodes(void* h) {
+  RRTTree* t = (RRTTree*)h;
+  int n = 0;
+  for (char v : t->valid) n += v ? 1 : 0;
+  return n;
+}
+
+// Path length including the appended goal point (0 if no path).
+int gtop_rrt_path_len(void* h) {
+  RRTTree* t = (RRTTree*)h;
+  if (t->best_goal_node < 0) return 0;
+  return (int)t->chain_of(t->best_goal_node).size() + 1;
+}
+
+// tracePath/getPath (path_finder.cpp:806-887): waypoints + radii.
+void gtop_rrt_get_path(void* h, double* path, double* radii_out) {
+  RRTTree* t = (RRTTree*)h;
+  if (t->best_goal_node < 0) return;
+  std::vector<int> chain = t->chain_of(t->best_goal_node);
+  size_t k = 0;
+  for (int i : chain) {
+    for (int a = 0; a < 3; ++a) path[3 * k + a] = t->centers[i][a];
+    radii_out[k] = t->radii[i];
+    ++k;
+  }
+  for (int a = 0; a < 3; ++a) path[3 * k + a] = t->goal[a];
+  radii_out[k] = std::max(t->clearance(t->goal), t->min_radius);
+}
+
+// resetRoot/costRecast (path_finder.cpp:302-375): commit a new root as
+// the vehicle advances.  Returns 1 on success (including the terminal
+// commit_end case), 0 if no containing path ball was found.
+int gtop_rrt_reset_root(void* h, const double* target) {
+  RRTTree* t = (RRTTree*)h;
+  if (t->best_goal_node < 0) return 0;
+  std::vector<int> chain = t->chain_of(t->best_goal_node);
+  int end = chain.back();
+  {
+    double dx = t->centers[end][0] - target[0],
+           dy = t->centers[end][1] - target[1],
+           dz = t->centers[end][2] - target[2];
+    if (std::sqrt(dx * dx + dy * dy + dz * dz) < t->radii[end]) {
+      t->commit_end = true;  // almost at the final target
+      return 1;
+    }
+  }
+  int new_root = -1;
+  for (auto it = chain.rbegin(); it != chain.rend(); ++it) {
+    int i = *it;  // closest-to-goal containing node wins
+    double dx = t->centers[i][0] - target[0],
+           dy = t->centers[i][1] - target[1],
+           dz = t->centers[i][2] - target[2];
+    if (std::sqrt(dx * dx + dy * dy + dz * dz) < t->radii[i] - 0.1) {
+      new_root = i;
+      break;
+    }
+  }
+  if (new_root < 0 || new_root == t->root) return new_root == t->root;
+  auto ch = t->children_adjacency();
+  std::vector<char> keep(t->centers.size(), 0);
+  t->subtree_mark(new_root, ch, keep);
+  for (size_t i = 0; i < t->centers.size(); ++i)
+    if (t->valid[i] && !keep[i]) t->valid[i] = 0;
+  t->parents[new_root] = -1;
+  t->root = new_root;
+  t->recompute_costs();
+  t->reevaluate_best();
+  return 1;
+}
+
+// RRTpathReEvaluate + ReConnect + treeRepair (path_finder.cpp:1065-1554)
+// under a changed map; returns 1 if a path to goal survives/is repaired.
+int gtop_rrt_update_map(void* h, const float* dist, int repair_iters) {
+  RRTTree* t = (RRTTree*)h;
+  t->dist.assign(dist, dist + (size_t)t->nx * t->ny * t->nz);
+  const size_t n = t->centers.size();
+  std::vector<std::array<double, 4>> repair;  // (center, r_old)
+
+  // 1. shrink-only radius refresh; cut failed nodes + branches
+  auto adj = t->children_adjacency();
+  std::vector<char> cut(n, 0);
+  for (size_t i = 0; i < n; ++i) {
+    if (!t->valid[i]) continue;
+    double new_r =
+        std::min(t->radii[i], t->clearance(t->centers[i].data()));
+    t->radii[i] = new_r;
+    if (new_r < t->min_radius && (int)i != t->root) {
+      repair.push_back({t->centers[i][0], t->centers[i][1],
+                        t->centers[i][2], std::max(new_r, t->min_radius)});
+      std::fill(cut.begin(), cut.end(), 0);
+      t->subtree_mark((int)i, adj, cut);
+      for (size_t j = 0; j < n; ++j)
+        if (cut[j]) t->valid[j] = 0;
+    }
+  }
+
+  // 2. BFS from root over still-overlapping edges -> reachable set
+  auto ch = t->children_adjacency();
+  std::vector<char> reach(n, 0);
+  std::vector<int> stack;
+  if (t->valid[t->root]) {
+    reach[t->root] = 1;
+    stack.push_back(t->root);
+  }
+  auto gap = [&](int i, int j) {
+    double dx = t->centers[i][0] - t->centers[j][0],
+           dy = t->centers[i][1] - t->centers[j][1],
+           dz = t->centers[i][2] - t->centers[j][2];
+    return std::sqrt(dx * dx + dy * dy + dz * dz);
+  };
+  while (!stack.empty()) {
+    int i = stack.back();
+    stack.pop_back();
+    for (int j : ch[i]) {
+      if (!t->valid[j] || reach[j]) continue;
+      if (gap(i, j) <= t->radii[i] + t->radii[j]) {
+        reach[j] = 1;
+        stack.push_back(j);
+      }
+    }
+  }
+
+  // 3. ReConnect rounds: orphaned valid subtree roots find a new parent
+  //    among reachable nodes (localReConnect analogue)
+  std::vector<int> orphans;
+  for (size_t i = 0; i < n; ++i)
+    if (t->valid[i] && !reach[i]) orphans.push_back((int)i);
+  bool progress = true;
+  while (progress && !orphans.empty()) {
+    progress = false;
+    std::vector<int> still;
+    for (int i : orphans) {
+      if (reach[i]) continue;
+      int best_j = -1;
+      double best_c = kInf;
+      for (size_t j = 0; j < n; ++j) {
+        if (!reach[j]) continue;
+        double g = gap(i, (int)j);
+        if (g <= t->radii[j] + t->radii[i]) {
+          double c = t->costs[j] + g;
+          if (c < best_c) { best_c = c; best_j = (int)j; }
+        }
+      }
+      if (best_j >= 0) {
+        t->parents[i] = best_j;
+        reach[i] = 1;
+        // the orphan's own intact subtree comes along
+        std::vector<int> st{i};
+        while (!st.empty()) {
+          int a = st.back();
+          st.pop_back();
+          for (int b : ch[a]) {
+            if (t->valid[b] && !reach[b] &&
+                gap(a, b) <= t->radii[a] + t->radii[b]) {
+              reach[b] = 1;
+              st.push_back(b);
+            }
+          }
+        }
+        progress = true;
+      } else {
+        still.push_back(i);
+      }
+    }
+    orphans.swap(still);
+  }
+  for (int i : orphans) {
+    if (t->valid[i])
+      repair.push_back({t->centers[i][0], t->centers[i][1], t->centers[i][2],
+                        std::max(t->radii[i], t->min_radius)});
+    t->valid[i] = 0;
+  }
+
+  t->recompute_costs();
+  t->reevaluate_best();
+
+  // 4. treeRepair: spend insertion attempts near the failure regions
+  if (!repair.empty() && repair_iters > 0) {
+    int per = std::max(1, repair_iters / (int)repair.size());
+    for (const auto& rg : repair) {
+      for (int k = 0; k < per; ++k) {
+        double p[3] = {rg[0] + t->nrand() * rg[3],
+                       rg[1] + t->nrand() * rg[3],
+                       rg[2] + t->nrand() * rg[3]};
+        t->try_insert(p[0], p[1], p[2]);
+      }
+    }
+    t->reevaluate_best();
+  }
+  return std::isfinite(t->best_cost) ? 1 : 0;
+}
+
+}  // extern "C"

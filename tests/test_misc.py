@@ -415,3 +415,29 @@ def test_solve_batch_polish_matches_single():
     )
     sol0 = solve_mod.solve(scn1, cfg=cfg0, steps=(2,), record_trace=False)
     assert float(sol1.cost) <= float(sol0.cost) + 1e-6
+
+
+def test_rrt_trim_passed_drops_backtracking_waypoints():
+    """trim_passed removes corridor nodes behind the vehicle (the
+    receding-horizon stall: when no path ball contains the flown state,
+    resetRoot cannot advance and the traced corridor pins a waypoint
+    BEHIND the vehicle — recorded stall geometry from the full-budget
+    native-backend flight)."""
+    path = np.array([
+        [0.0, -3.0, 2.0], [1.87, -0.87, 1.8], [2.36, -0.52, 1.72],
+        [2.75, 0.4, 1.33], [2.34, 0.8, 1.6], [0.86, 2.51, 1.98],
+        [0.0, 3.0, 2.0],
+    ])
+    radii = np.array([2.78, 0.78, 0.57, 0.53, 0.34, 2.03, 2.53])
+    pos = np.array([2.92, 0.84, 2.05])  # already through the wall gap
+    p2, r2 = rrt.trim_passed(path, radii, pos)
+    assert len(p2) == len(r2)
+    np.testing.assert_array_equal(p2[-1], path[-1])  # goal kept
+    # the passed nodes (up to and including the gap crossing at
+    # (2.75, 0.4)) are gone
+    assert len(p2) <= 3
+    for passed in path[:4]:
+        assert not any(np.allclose(passed, q) for q in p2)
+    # degenerate short paths pass through untouched (minus the root)
+    p3, r3 = rrt.trim_passed(path[:2], radii[:2], pos)
+    np.testing.assert_array_equal(p3, path[1:2])

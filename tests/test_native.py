@@ -468,3 +468,73 @@ def test_native_solve_polish_matches_jax_and_golden():
     dev = np.abs(pos_j - pos_n).max()
     assert dev < 1e-3, f"native/JAX positional deviation {dev}"
     assert abs(cost_n - float(sol.cost)) / max(abs(cost_n), 1.0) < 5e-3
+
+
+def test_native_rrt_corridor_and_repair():
+    """Native safe-ball RRT* (gtop_rrt_*): grows a valid overlapping-ball
+    corridor through the gap, and a map change (gap moves) repairs the
+    tree so the new corridor threads the NEW gap
+    (path_finder.cpp:713-804, 1065-1554)."""
+    from grad_traj_optimization_tpu.search import rrt as rrt_mod
+
+    dist, origin, res = gap_wall_map(-0.8, 0.8)
+    p = native.NativeRRTPlanner(
+        dist, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=1,
+    )
+    assert p.grow(2000)
+    r = p.result()
+    assert r.reached and r.cost >= 6.0 and r.n_nodes > 10
+    for a in range(len(r.path) - 1):
+        gap = np.linalg.norm(r.path[a + 1] - r.path[a])
+        assert gap <= r.radii[a] + r.radii[a + 1] + 1e-9
+    for a in range(len(r.path)):
+        assert rrt_mod._dist_at(dist, origin, res, r.path[a]) >= 0.29
+
+    # the x=0 gap closes; a new one opens at x in (2.1, 3.9)
+    dist_b, _, _ = gap_wall_map(2.1, 3.9, thickness_cells=2)
+    if not p.update_map(dist_b, repair_iters=150):
+        assert p.grow(2500)
+    r2 = p.result()
+    assert r2.reached
+    for a in range(len(r2.path)):
+        assert rrt_mod._dist_at(dist_b, origin, res, r2.path[a]) >= 0.29
+    # the corridor crossing of the wall band threads the new gap
+    crossed = False
+    for a in range(len(r2.path) - 1):
+        y0, y1 = r2.path[a][1], r2.path[a + 1][1]
+        if y0 < 0.125 <= y1:
+            f = (0.125 - y0) / max(y1 - y0, 1e-9)
+            x_cross = r2.path[a][0] + f * (r2.path[a + 1][0] - r2.path[a][0])
+            assert 1.9 < x_cross < 4.1, f"crossed at x={x_cross}"
+            crossed = True
+    assert crossed
+
+
+def test_native_rrt_reset_root_and_unreachable():
+    """resetRoot commits advance the tree root (path_finder.cpp:302-375);
+    a solid wall reports failure."""
+    dist, origin, res = gap_wall_map(-0.8, 0.8)
+    p = native.NativeRRTPlanner(
+        dist, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=3,
+    )
+    assert p.grow(2000)
+    n_before = p.result().n_nodes
+    # commit a point partway along the path: either the root advances
+    # (nodes behind it are cut) or the terminal commit_end flag raises
+    mid = 0.5 * (np.array([0.0, -3.0, 2.0]) + np.array([0.0, 3.0, 2.0]))
+    assert p.reset_root(mid)
+    r = p.result()
+    assert p.commit_end or (r.reached and r.n_nodes <= n_before)
+
+    solid, origin, res = gap_wall_map(1.0, 1.0)  # no gap
+    p2 = native.NativeRRTPlanner(
+        solid, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        seed=2,
+    )
+    assert not p2.grow(400)
+    assert not p2.result().reached

@@ -351,3 +351,42 @@ def test_harness_frontend_fallback(tmp_path):
     assert rec2.frontend_ok and not rec2.via_fallback
     s = harness.summarize([rec, rec2])
     assert s["n_frontend_ok"] == 2 and s["n_via_fallback"] == 1
+
+
+def test_replan_rrt_native_backend():
+    """The native C++ tree engine flies the same persistent-tree
+    receding-horizon loop (rcfg.backend='native'): the gap shifts
+    mid-flight and the repaired native tree carries the flight through
+    the new gap with full clearance."""
+    from grad_traj_optimization_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    res = 0.25
+    origin = np.array([-5.0, -5.0, 0.0])
+    dist_a = gap_wall_map(-0.9, 0.9, thickness_cells=2)[0]
+    dist_b = gap_wall_map(2.1, 3.9, thickness_cells=2)[0]
+    t_shift = 0.4
+
+    def map_update(t, grid):
+        return dist_b if t >= t_shift and grid is not dist_b else None
+
+    rcfg = replan.RRTReplanConfig(
+        replan_dt=0.5, max_ticks=30, init_iters=2000, grow_iters=400,
+        repair_iters=200, seed=1, backend="native",
+    )
+    ocfg = OptimizerConfig(iters_step1=4, iters_step2=12)
+    results = replan.replan_loop_rrt(
+        dist_a, origin, res,
+        start=np.array([0.0, -3.0, 2.0]), goal=np.array([0.0, 3.0, 2.0]),
+        map_update=map_update, rcfg=rcfg, ocfg=ocfg,
+    )
+    assert results[-1].reached_goal
+    states = np.stack([r.state for r in results])
+    d_states = np.asarray(sdf.distance_at(
+        dist_b, jnp.asarray(origin, jnp.float32), res,
+        jnp.asarray(states[:, :3], jnp.float32),
+    ))
+    assert (d_states > 0.2).all(), d_states

@@ -832,3 +832,64 @@ def test_turbo_presets_are_dual_seed():
     # the measured budgets: 70+30 (quality) and 30+30 (fast)
     assert TURBO_CONFIG.iters_step2 == 70
     assert TURBO_FAST_CONFIG.iters_step2 == 30
+
+
+def test_solve_server_microbatching():
+    """serving.SolveServer: concurrent submits aggregate into one padded
+    batch; per-request Solutions match the direct single-lane solve; the
+    shape contract rejects mismatched scenarios."""
+    import pytest
+    from grad_traj_optimization_tpu import serving
+
+    map_cfg, obss, wp = _small_scene()
+    cfg = OptimizerConfig(iters_step1=3, iters_step2=8)
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    rng = np.random.default_rng(0)
+    scns = []
+    for _ in range(6):
+        w = np.asarray(wp, np.float64).copy()
+        w[1:-1, :2] += rng.uniform(-0.1, 0.1, (len(wp) - 2, 2))
+        scns.append(
+            solve_mod.Scenario(
+                dist=scn.dist,  # SAME array -> shared-map batch
+                origin=scn.origin,
+                resolution=scn.resolution,
+                waypoints=jnp.asarray(w, jnp.float32),
+            )
+        )
+
+    server = serving.SolveServer(cfg=cfg, max_batch=8, max_wait_ms=50.0)
+    futs = [server.submit(s) for s in scns]
+    sols = [f.result(timeout=120) for f in futs]
+
+    # shape-contract rejection
+    wp_bad = np.vstack([wp, wp[-1] + 0.5])
+    scn_bad = solve_mod.Scenario(
+        dist=scn.dist, origin=scn.origin, resolution=scn.resolution,
+        waypoints=jnp.asarray(wp_bad, jnp.float32),
+    )
+    with pytest.raises(ValueError, match="contract"):
+        server.submit(scn_bad)
+    server.shutdown()
+
+    st = server.stats.summary()
+    assert st["n_requests"] == 6
+    assert st["n_batches"] >= 1
+    # padded to the 8-bucket when aggregated into one batch
+    if st["n_batches"] == 1:
+        assert server.stats.n_padded_lanes == 2
+
+    # every served Solution matches its direct single-lane solve
+    for s, sol in zip(scns, sols):
+        batch1 = solve_mod.Scenario(
+            dist=s.dist[None], origin=s.origin[None],
+            resolution=s.resolution[None], waypoints=s.waypoints[None],
+        )
+        ref = solve_mod.solve_batch(
+            batch1, cfg=cfg, steps=(2,), record_trace=False
+        )
+        assert int(sol.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(sol.coeff), np.asarray(ref.coeff[0]),
+            rtol=1e-5, atol=1e-5,
+        )

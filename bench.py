@@ -188,8 +188,12 @@ def main():
             resolution=jnp.broadcast_to(o_scn.resolution, (BO,)),
             waypoints=jnp.asarray(o_wps, jnp.float32),
         )
+        # full-grid baseline: auto-crop explicitly disabled
+        import dataclasses as _dc
+
+        cfg_full = _dc.replace(cfg, auto_crop=False)
         run_o = lambda: solve_mod.solve_batch(
-            o_sh, cfg=cfg, steps=(2,), record_trace=False
+            o_sh, cfg=cfg_full, steps=(2,), record_trace=False
         )
         s_o = run_o()
         sync(s_o)
@@ -198,14 +202,12 @@ def main():
             t0 = time.perf_counter()
             sync(run_o())
             times_o.append(time.perf_counter() - t0)
-        # EXACT cell-boundary crop (round 3): global-frame coordinate
-        # arithmetic + integer cell offset -> bitwise-identical solves
-        # on the 72x112x25 window (chip-verified, scripts/
-        # ab_crop_exact.py); the quality-preserving number for the
-        # reference's own demo map
-        o_crop = solve_mod.crop_scenarios(o_sh, cfg)
+        # DEFAULT path (round 4): solve_batch auto-applies the EXACT
+        # cell-boundary crop (global-frame arithmetic + integer cell
+        # offset -> bitwise-identical solves, chip gate scripts/
+        # ab_crop_exact.py) — no explicit crop call
         run_c = lambda: solve_mod.solve_batch(
-            o_crop, cfg=cfg, steps=(2,), record_trace=False
+            o_sh, cfg=cfg, steps=(2,), record_trace=False
         )
         s_c = run_c()
         sync(s_c)

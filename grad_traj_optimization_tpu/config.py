@@ -132,6 +132,22 @@ class OptimizerConfig:
     # quality (equal-quality basins; fragile scenarios may flip).
     lookup_mode: str = "auto"
 
+    # --- automatic exact cropping (round 4) ---
+    # When solve/solve_batch would take the whole-descent kernel path
+    # anyway and the batch qualifies (shared origin, uniform
+    # resolution), the grids are exact-cropped to the waypoint window
+    # +- (bos + crop_margin) before dispatch — the reference's own 1M-
+    # voxel opti_node map then runs ~1.9x faster with bitwise-identical
+    # results for in-window iterates (chip gate: scripts/ab_crop_exact.
+    # py, 256/256 lanes).  Iterates that overshoot the margin read the
+    # out-of-map sentinel (-1, a restoring penalty) instead of the true
+    # field — crop_margin = 2.0 m beyond the bos box makes that
+    # unobserved at bench scale.  Set False to always solve on the full
+    # grid.  Only consulted on concrete (untraced) inputs with
+    # lookup_mode "auto" on TPU; explicit crop_scenarios() still works.
+    auto_crop: bool = True
+    crop_margin: float = 2.0
+
     # --- matmul precision for the dense lookup contractions ---
     # "highest": f32 accumulation (6 bf16 passes on TPU MXU) — the
     #   default.  "high" (bf16x3) measured only 1.16x faster end-to-end

@@ -23,7 +23,7 @@ _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgtop_core.so")
-_ABI_VERSION = 5  # must match gtop_abi_version() in gtop_core.cpp
+_ABI_VERSION = 6  # must match gtop_abi_version() in gtop_core.cpp
 
 
 def _stale() -> bool:
@@ -111,6 +111,12 @@ def _load():
     lib.gtop_rrt_update_map.argtypes = [
         ctypes.c_void_p, f32p, ctypes.c_int,
     ]
+    lib.gtop_rrt_root.argtypes = [ctypes.c_void_p, f64p, f64p]
+    lib.gtop_rrt_root.restype = None
+    lib.gtop_free_shot.argtypes = [
+        f64p, f64p, f64p, ctypes.c_double, f64p, f64p, f64p,
+    ]
+    lib.gtop_free_shot.restype = None
     _LIB = lib
     return lib
 
@@ -266,6 +272,7 @@ def hybrid_search(
     heu_mode: int = 0,
     margin: float = 0.2,
     max_knots: int = 64,
+    shot_mode: int = 0,
 ):
     """Exact host-side hybrid A* — the compare2 front-end.
 
@@ -276,7 +283,11 @@ def hybrid_search(
     (:644).  ``use_init`` enables the init-mode first expansion with
     ``start_acc`` (:1377-1447); ``heu_mode`` selects the heuristic
     (0 kinodynamic quartic — the active one; 1 diag / 2 manhattan /
-    3 euclid, the reference's unwired geometric options, :148-186).
+    3 euclid, the reference's unwired geometric options, :148-186);
+    ``shot_mode`` selects the one-shot family (0 fixed-end-vel shotHeu
+    :1023-1101 — the active one; 1 free-end-vel freeEndVelShot
+    :969-1021, present in the reference but unwired from searchPath —
+    the goal knot then carries the shot's free end velocity).
 
     Returns (pos (K,3), vel (K,3), acc (K,3), times (K-1,), status)
     where status is HYBRID_{NO_PATH, REACH_END, REACH_HORIZON}.
@@ -301,7 +312,7 @@ def hybrid_search(
     cfg = np.array(
         [max_acc, max_vel, max_tau, w_time, lambda_heu, horizon,
          max_iters, init_max_tau, 1.0 if use_init else 0.0, heu_mode,
-         margin],
+         margin, shot_mode],
         dtype=np.float64,
     )
     knots = np.zeros((max_knots, 9), np.float64)
@@ -374,6 +385,30 @@ def kino_search(
         knots[:k, 0:3], knots[:k, 3:6], knots[:k, 6:9], times[: k - 1],
         True,
     )
+
+
+def free_shot(p0, p1, v0, max_vel: float = 3.0):
+    """Free-end-velocity minimum-acceleration cubic one-shot.
+
+    Exact f64 port of HybridAStarPathFinder::getOptimalTime /
+    getShotTrajectory (hybrid_astar.cpp:902-967); cross-checked against
+    the JAX port (search.kinodynamic.free_end_vel_shot) in
+    tests/test_native.py.
+
+    Returns (coef (3, 4) ascending powers, T, v1 (3,)).
+    """
+    lib = _load()
+    p0 = np.ascontiguousarray(p0, dtype=np.float64)
+    p1 = np.ascontiguousarray(p1, dtype=np.float64)
+    v0 = np.ascontiguousarray(v0, dtype=np.float64)
+    coef = np.empty((3, 4), np.float64)
+    T = np.empty(1, np.float64)
+    v1 = np.empty(3, np.float64)
+    lib.gtop_free_shot(
+        _f64p(p0), _f64p(p1), _f64p(v0), float(max_vel), _f64p(coef),
+        _f64p(T), _f64p(v1),
+    )
+    return coef, float(T[0]), v1
 
 
 class NativeRRTPlanner:
@@ -452,8 +487,14 @@ class NativeRRTPlanner:
         k = int(self._lib.gtop_rrt_path_len(self._h))
         n_valid = int(self._lib.gtop_rrt_n_nodes(self._h))
         if k == 0:
+            # exact surface parity with rrt.RRTPlanner.result(): the
+            # unreached case is a 1-point path at the current root, so
+            # backend-generic callers can index path[0] on failure
+            c = np.zeros(3, np.float64)
+            r = np.zeros(1, np.float64)
+            self._lib.gtop_rrt_root(self._h, _f64p(c), _f64p(r))
             return RRTResult(
-                path=np.zeros((0, 3)), radii=np.zeros(0),
+                path=c[None], radii=r.copy(),
                 reached=False, cost=np.inf, n_nodes=n_valid,
             )
         path = np.zeros((k, 3), np.float64)

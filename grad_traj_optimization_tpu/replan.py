@@ -196,9 +196,13 @@ def replan_loop(
         TPU rates).  Return a same-shape grid (one jit serves every
         tick) or None for "no change".  For appearing obstacles the
         cheap incremental form is
-        ``sdf.edt(new_occ, res, prev_dist=old_dist)`` (the reference's
-        own min-with-old-buffer update, sdf_map.cpp:358-360); removals
-        need a full rebuild of the affected field.
+        ``sdf.edt_update(old_dist, new_occ, res, lo, hi, mode="add")``
+        (the region-limited analogue of the reference's setUpdateRange
+        windowed sweep, sdf_map.cpp:244-262 — EXACT for additions), or
+        ``sdf.edt(new_occ, res, prev_dist=old_dist)`` for the unwindowed
+        min-with-old (sdf_map.cpp:358-360); in-box removals use
+        ``edt_update(..., mode="reset")`` (the reference's literal
+        windowed rebuild); scattered removals need a full rebuild.
     Returns:
       list of TickResult.
     """
@@ -521,9 +525,17 @@ def replan_loop_rrt(
                     bos_wp, 1, max(float(full_r[j]), rcfg.min_bos)
                 )
             else:
-                # 2-node corridor: the chord IS a collision-checked
-                # tree edge inside two overlapping safe balls, so its
-                # midpoint is certified free
+                # 2-node corridor [state, end node]: the state->end
+                # chord is NOT a certified tree edge (trim_passed may
+                # have collapsed a longer corridor to just the final
+                # node, and the flown state can sit outside every
+                # ball), so clamp the midpoint into the end node's
+                # safe ball before pinning a bound box around it
+                r_end = float(radii_c[-1])
+                dvec = mid - wps[1]
+                dn = float(np.linalg.norm(dvec))
+                if dn > 0.9 * r_end:
+                    mid = wps[1] + dvec * (0.9 * r_end / max(dn, 1e-12))
                 wps = np.insert(wps, 1, mid, axis=0)
                 bos_wp = np.insert(bos_wp, 1, min(bos_wp[0], bos_wp[1]))
         scn = solve_mod.Scenario(

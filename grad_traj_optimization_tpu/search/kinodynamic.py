@@ -223,6 +223,86 @@ def shot_feasible(state1, state2, t_d, dist_grid, origin, resolution,
 
 
 # ---------------------------------------------------------------------------
+# Local-box nearest-cell lookup (the TPU fast path for the beam's
+# collision sweeps)
+# ---------------------------------------------------------------------------
+
+
+def default_box_cells(max_vel: float, max_acc: float, max_tau: float,
+                      resolution: float) -> int:
+    """Box half-width (cells) covering one primitive's reach from a
+    feasible parent: |v| <= max_vel per axis, so displacement over tau
+    is bounded by max_vel * tau + 0.5 * max_acc * tau^2."""
+    disp = max_vel * max_tau + 0.5 * max_acc * max_tau**2
+    return int(np.ceil(disp / resolution)) + 1
+
+
+def _box_distance(dist_grid, origin, res, parent_pos, pos, half: int):
+    """Nearest-cell distance for samples near their beam parents.
+
+    Bitwise the same values as ``sdf.distance_at`` (clamped nearest
+    cell; -1 out of map) for any sample within ``half`` cells of its
+    parent, evaluated WITHOUT per-element gathers: one dynamic-sliced
+    local box per parent (a large contiguous slice — the gather shape
+    TPUs handle at bandwidth) + exact one-hot MXU/VPU contractions
+    against the box.  Per-element gathers lower to ~35 ns/element
+    scalar ops on TPU, which made the vmapped beam ~22 searches/s at
+    B=1024; this path is the fix (round-4 VERDICT item 1).
+
+    Samples farther than ``half`` cells from their parent (only lanes
+    whose parent already carries g = big: infeasible-velocity parents
+    kept by top-k when fewer than `beam` candidates were feasible)
+    read a clamped in-box value — garbage, but their candidates carry
+    g = big and can never be selected or become the best leaf.
+
+    Args:
+      parent_pos: (beam, 3) parent positions (box centers).
+      pos: (beam, ..., 3) sample positions.
+      half: static box half-width in cells.
+    Returns:
+      (beam, ...) distances.
+    """
+    grid = dist_grid.shape
+    box_shape = tuple(min(2 * half + 1, g) for g in grid)
+    bx, by, bz = box_shape
+    gridv = jnp.asarray(grid, jnp.int32)
+    boxv = jnp.asarray(box_shape, jnp.int32)
+    halfv = jnp.asarray([(b - 1) // 2 for b in box_shape], jnp.int32)
+
+    ctr = jnp.floor((parent_pos - origin) / res).astype(jnp.int32)
+    start = jnp.clip(ctr - halfv, 0, gridv - boxv)  # (beam, 3)
+    boxes = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            dist_grid, (s[0], s[1], s[2]), box_shape
+        )
+    )(start)  # (beam, bx, by, bz)
+
+    ok = sdf.in_map(pos, origin, res, grid)
+    idx = sdf.pos_to_index(pos, origin, res)
+    idx = jnp.clip(idx, 0, gridv - 1)  # distance_at's clamped semantics
+    beam = parent_pos.shape[0]
+    lead = pos.shape[1:-1]
+    rel = idx.reshape(beam, -1, 3) - start[:, None, :]
+    rel = jnp.clip(rel, 0, boxv - 1)  # no-op for live-parent samples
+
+    dtype = pos.dtype
+    wx = (rel[..., 0:1] == jnp.arange(bx, dtype=jnp.int32)).astype(dtype)
+    # (beam, S, bx) @ (beam, bx, by*bz) — the MXU dot; one-hot
+    # selection in f32 HIGHEST is EXACT (a sum with one nonzero term)
+    t1 = jnp.einsum(
+        "bsx,bxq->bsq", wx, boxes.reshape(beam, bx, by * bz),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wyz = (
+        (rel[..., 1] * bz + rel[..., 2])[..., None]
+        == jnp.arange(by * bz, dtype=jnp.int32)
+    ).astype(dtype)
+    d = jnp.sum(t1 * wyz, axis=-1)  # VPU masked reduce
+    d = d.reshape((beam,) + lead)
+    return jnp.where(ok, d, -1.0)
+
+
+# ---------------------------------------------------------------------------
 # Batched beam search
 # ---------------------------------------------------------------------------
 
@@ -246,14 +326,6 @@ def _primitive_set(max_acc: float, n_acc: int = 5):
     return g.astype(np.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_acc", "max_vel", "max_tau", "w_time", "lambda_heu",
-        "margin", "max_iters", "beam", "n_acc", "n_dur", "check_num",
-        "max_knots",
-    ),
-)
 def search(
     dist_grid,
     origin,
@@ -274,6 +346,74 @@ def search(
     n_dur: int = 2,
     check_num: int = 5,
     max_knots: int = 32,
+    lookup: str = "auto",
+    shot_topk: int | None = None,
+    box_cells: int = 0,
+) -> KinoResult:
+    """Beam kinodynamic search (see :func:`_search_impl`).
+
+    ``lookup``: how the collision sweeps read the distance field.
+    "gather" = per-element flat gathers (exact, fine on CPU);
+    "box" = per-parent local-box one-hot contractions (bitwise the
+    same sweep values, the TPU fast path — per-element gathers lower
+    to ~35 ns scalar ops there); "auto" picks by backend.  In box
+    mode the one-shot feasibility sweep is restricted to the
+    ``shot_topk`` most promising beam slots per iteration (default 8;
+    the shot spans to the goal and cannot ride a local box) — pass
+    ``shot_topk=beam`` for gather-identical termination tracking.
+    ``box_cells``: static box half-width override (required when
+    ``resolution`` is traced, e.g. under an outer vmap).
+    """
+    if lookup == "auto":
+        lookup = "box" if jax.default_backend() == "tpu" else "gather"
+    if lookup == "box" and box_cells == 0:
+        box_cells = default_box_cells(
+            max_vel, max_acc, max_tau, float(resolution)
+        )
+    if shot_topk is None:
+        shot_topk = min(8, beam) if lookup == "box" else 0
+    return _search_impl(
+        dist_grid, origin, resolution, start_state, goal_state,
+        obstacle_pred, start_time,
+        max_acc=max_acc, max_vel=max_vel, max_tau=max_tau,
+        w_time=w_time, lambda_heu=lambda_heu, margin=margin,
+        max_iters=max_iters, beam=beam, n_acc=n_acc, n_dur=n_dur,
+        check_num=check_num, max_knots=max_knots, lookup=lookup,
+        shot_topk=shot_topk, box_cells=box_cells,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_acc", "max_vel", "max_tau", "w_time", "lambda_heu",
+        "margin", "max_iters", "beam", "n_acc", "n_dur", "check_num",
+        "max_knots", "lookup", "shot_topk", "box_cells",
+    ),
+)
+def _search_impl(
+    dist_grid,
+    origin,
+    resolution,
+    start_state,
+    goal_state,
+    obstacle_pred=None,
+    start_time: float = 0.0,
+    max_acc: float = 2.0,
+    max_vel: float = 3.0,
+    max_tau: float = 0.5,
+    w_time: float = 10.0,
+    lambda_heu: float = 5.0,
+    margin: float = 0.2,
+    max_iters: int = 30,
+    beam: int = 64,
+    n_acc: int = 5,
+    n_dur: int = 2,
+    check_num: int = 5,
+    max_knots: int = 32,
+    lookup: str = "gather",
+    shot_topk: int = 0,
+    box_cells: int = 0,
 ) -> KinoResult:
     """Beam kinodynamic search from start_state to goal_state (both (6,)).
 
@@ -326,13 +466,33 @@ def search(
         may shoot from anywhere, so the sweep is densified (32 samples:
         <= ~0.3 m spacing at horizon-scale shots — matches the primitive
         sweep's density) or thin walls slip between samples.
+
+        With ``shot_topk`` set (the TPU box-lookup path), only the
+        top-k slots by optimistic total g + h are swept — shots span
+        to the goal, so their lookups stay per-element gathers, and
+        sweeping all `beam` slots every iteration would put the gather
+        cost right back on the critical path.  Slots outside the top-k
+        read as infeasible this iteration (they are tracked again
+        every later iteration as their totals improve).
         """
         h_b, t_sh = estimate_heuristic(states_b, goal_state, w_time,
                                        max_vel)
-        feas_b = shot_feasible(
-            states_b, goal_state, jnp.maximum(t_sh, 1e-2), dist_grid,
-            origin, res, margin, n_check=32,
-        )
+        t_hold = jnp.maximum(t_sh, 1e-2)
+        if 0 < shot_topk < states_b.shape[0]:
+            score = g_b + jnp.where(jnp.isfinite(h_b), h_b, 0.0)
+            _, sel = jax.lax.top_k(-score, shot_topk)
+            feas_sel = shot_feasible(
+                states_b[sel], goal_state, t_hold[sel], dist_grid,
+                origin, res, margin, n_check=32,
+            )
+            feas_b = jnp.zeros(
+                states_b.shape[0], bool
+            ).at[sel].set(feas_sel)
+        else:
+            feas_b = shot_feasible(
+                states_b, goal_state, t_hold, dist_grid,
+                origin, res, margin, n_check=32,
+            )
         return g_b + jnp.where(feas_b, h_b, 0.5 * big), t_sh
 
     def body(it, carry):
@@ -364,7 +524,12 @@ def search(
             prim[None, :, None, None, :],
             (taus[None, None, :, None] * ks[None, None, None, :]),
         )[..., :3]
-        d_static = sdf.distance_at(dist_grid, origin, res, sweep)
+        if lookup == "box":
+            d_static = _box_distance(
+                dist_grid, origin, res, states[:, :3], sweep, box_cells
+            )
+        else:
+            d_static = sdf.distance_at(dist_grid, origin, res, sweep)
         if obstacle_pred is not None:
             from grad_traj_optimization_tpu.fields import dynamic as _dyn
 
@@ -515,6 +680,219 @@ def search(
     )
 
 
+def search_adaptive(
+    dist_grid, origin, resolution, start_state, goal_state,
+    retries: int = 1, widen: float = 2.0, deepen: float = 1.5,
+    beam: int = 64, max_iters: int = 30, **kw,
+):
+    """Beam search with adaptive widening on failure.
+
+    The fixed-budget beam can miss narrow passages the exact A*
+    threads (recorded: 96/100 vs the exact front-ends at beam=64,
+    BEAM_VS_EXACT.md); before falling back to the host search, retry
+    with a ``widen``x beam and ``deepen``x iterations — the batched
+    expansion makes a wider beam nearly free on TPU, and each retry
+    shape compiles once.  Returns (KinoResult, n_retries_used).
+    """
+    res = search(
+        dist_grid, origin, resolution, start_state, goal_state,
+        beam=beam, max_iters=max_iters, **kw,
+    )
+    used = 0
+    while not bool(res.reached) and used < retries:
+        used += 1
+        beam = int(round(beam * widen))
+        max_iters = int(round(max_iters * deepen))
+        res = search(
+            dist_grid, origin, resolution, start_state, goal_state,
+            beam=beam, max_iters=max_iters, **kw,
+        )
+    return res, used
+
+
+def search_batch(
+    dists,
+    origins,
+    resolution: float,
+    starts,
+    goals,
+    lookup: str = "auto",
+    shot_topk: int | None = None,
+    box_cells: int = 0,
+    **kw,
+) -> KinoResult:
+    """Batched beam search: one jitted program over B scenarios.
+
+    The front-end counterpart of ``solver.solve_batch`` (the
+    reference's compare2 loop runs one search per case,
+    compare2.cpp:168-177; here the whole suite is one vmapped
+    program).  Shares :func:`search`'s config via ``kw``; uses the
+    box lookup by default on TPU (per-element gathers made the
+    vmapped beam ~22 searches/s at B=1024 — the box path is the fix).
+
+    Args:
+      dists: (B, nx, ny, nz) distance fields (or (1, ...) shared).
+      origins: (B, 3); resolution: shared static float.
+      starts, goals: (B, 6) states.
+    Returns:
+      KinoResult with a leading batch axis on every field.
+    """
+    if lookup == "auto":
+        lookup = "box" if jax.default_backend() == "tpu" else "gather"
+    if lookup == "box" and box_cells == 0:
+        box_cells = default_box_cells(
+            kw.get("max_vel", 3.0), kw.get("max_acc", 2.0),
+            kw.get("max_tau", 0.5), float(resolution),
+        )
+    if shot_topk is None:
+        beam = kw.get("beam", 64)
+        shot_topk = min(8, beam) if lookup == "box" else 0
+    dists = jnp.asarray(dists)
+    origins = jnp.asarray(origins, jnp.float32)
+    starts = jnp.asarray(starts, jnp.float32)
+    goals = jnp.asarray(goals, jnp.float32)
+    if dists.shape[0] == 1 and starts.shape[0] > 1:
+        dists = jnp.broadcast_to(dists, (starts.shape[0],) + dists.shape[1:])
+
+    return _search_batch_impl(
+        dists, origins, jnp.asarray(resolution, jnp.float32), starts,
+        goals, lookup, shot_topk, box_cells, tuple(sorted(kw.items())),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lookup", "shot_topk", "box_cells", "skw"),
+)
+def _search_batch_impl(dists, origins, resolution, starts, goals,
+                       lookup, shot_topk, box_cells, skw):
+    kw = dict(skw)
+
+    def one(d, o, s, g):
+        return _search_impl(
+            d, o, resolution, s, g, None, 0.0,
+            lookup=lookup, shot_topk=shot_topk, box_cells=box_cells,
+            **kw,
+        )
+
+    return jax.vmap(one)(dists, origins, starts, goals)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def resample_knots_batch(pos, vel, acc, times, n: int):
+    """Jittable batched knot resampler: ``n`` uniformly-time-spaced
+    knot states per lane, so every lane of a search batch feeds ONE
+    fixed-shape back-end program (the traced analogue of
+    replan._resample_knots).
+
+    Every branch segment's position path is EXACTLY a cubic matched to
+    its endpoint positions and velocities — constant-acceleration
+    primitives are quadratics and the one-shot connection is the cubic
+    of computeShotTraj (kinodynamic_astar.cpp:393-404) — so cubic
+    Hermite interpolation between bracketing knots reconstructs the
+    true branch geometry exactly at any time.  The beam's masked
+    zero-duration prefix dupes collapse onto cum-time 0 and are never
+    bracketed by a positive-length query.
+
+    Args:
+      pos/vel/acc: (B, K+1, 3); times: (B, K).
+    Returns:
+      (pos, vel, acc, times) with n knots / n-1 uniform segments per
+      lane (acc is the Hermite second derivative at each knot).
+    """
+    pos = jnp.asarray(pos)
+    times_ = jnp.asarray(times)
+
+    def one(p, v, a, t):
+        K = t.shape[0]
+        ct = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)])
+        total = ct[-1]
+        targets = jnp.linspace(0.0, total, n)
+        # bracketing segment: the segment whose start knot is the LAST
+        # knot with ct <= target (ties pick the highest knot, skipping
+        # zero-length segments); clip keeps t = total in segment K-1
+        j = jnp.clip(
+            jnp.sum(ct[None, :] <= targets[:, None] + 1e-9, axis=1) - 1,
+            0, K - 1,
+        ).astype(jnp.int32)
+        Tj = jnp.maximum(t[j], 1e-9)
+        s = jnp.clip((targets - ct[j]) / Tj, 0.0, 1.0)[:, None]
+        p0, p1 = p[j], p[j + 1]
+        v0 = v[j] * Tj[:, None]
+        v1 = v[j + 1] * Tj[:, None]
+        # cubic Hermite on [0, 1]
+        h00 = 2 * s**3 - 3 * s**2 + 1
+        h10 = s**3 - 2 * s**2 + s
+        h01 = -2 * s**3 + 3 * s**2
+        h11 = s**3 - s**2
+        pk = h00 * p0 + h10 * v0 + h01 * p1 + h11 * v1
+        d00 = 6 * s**2 - 6 * s
+        d10 = 3 * s**2 - 4 * s + 1
+        d01 = -d00
+        d11 = 3 * s**2 - 2 * s
+        vk = (d00 * p0 + d10 * v0 + d01 * p1 + d11 * v1) / Tj[:, None]
+        g00 = 12 * s - 6
+        g10 = 6 * s - 4
+        g01 = -g00
+        g11 = 6 * s - 2
+        ak = (g00 * p0 + g10 * v0 + g01 * p1 + g11 * v1) / (
+            Tj[:, None] ** 2
+        )
+        seg = jnp.maximum(jnp.diff(targets), 1e-2)
+        return pk, vk, ak, seg
+
+    return jax.vmap(one)(pos, jnp.asarray(vel), jnp.asarray(acc), times_)
+
+
+def retime_knots(pos, vel, times, mode: str = "mean_v",
+                 mean_v: float = 1.8, stretch: float = 1.0,
+                 w_time: float = 10.0, max_vel: float = 3.0,
+                 min_time: float = 1e-2):
+    """Re-allocate segment durations over search knots before seeding.
+
+    The beam's raw durations are its primitive taus (0.25/0.5 s) plus
+    the shot time — a faster pace than the hybrid A*'s 1 s primitives,
+    which buys flight time at the cost of the refined smoothness term
+    (BEAM_VS_EXACT.md: penalty gm 1.13 but time gm 0.75 vs the hybrid
+    seed).  Duration is free to change at seeding (PolyKinoGeneration
+    takes Time as an input, qp_generator.cpp:23-154), so this re-walks
+    the trade-off:
+
+    * ``"search"`` — keep the search durations (reference setKinoPath
+      semantics, grad_traj_optimizer.cpp:35-65);
+    * ``"mean_v"`` — the reference's own waypoint-seeding rule
+      T_s = len_s / mean_v (setPath, grad_traj_optimizer.cpp:67-81,
+      without the first-segment init_time quirk);
+    * ``"stretch"`` — scale the search durations by ``stretch``;
+    * ``"pontryagin"`` — per-segment optimal connection time of the
+      search's own cost (min over T of the Pontryagin double-
+      integrator cost with time weight ``w_time``,
+      kinodynamic_astar.cpp:348-384).
+
+    Host-side (numpy in, numpy out); knots/segment counts unchanged.
+    """
+    import numpy as onp
+
+    pos = onp.asarray(pos, onp.float64)
+    times = onp.asarray(times, onp.float64)
+    if mode == "search":
+        return times
+    if mode == "stretch":
+        return onp.maximum(times * stretch, min_time)
+    if mode == "mean_v":
+        seg = onp.linalg.norm(onp.diff(pos, axis=0), axis=1)
+        return onp.maximum(seg / mean_v, min_time)
+    if mode == "pontryagin":
+        vel = onp.asarray(vel, onp.float64)
+        x = onp.concatenate([pos, vel], axis=1)
+        _, t_opt = estimate_heuristic(
+            jnp.asarray(x[:-1], jnp.float32), jnp.asarray(x[1:], jnp.float32),
+            w_time, max_vel,
+        )
+        return onp.maximum(onp.asarray(t_opt, onp.float64), min_time)
+    raise ValueError(f"unknown retime mode {mode!r}")
+
+
 # ---------------------------------------------------------------------------
 # Free-end-velocity one-shot (HybridAStarPathFinder variant)
 # ---------------------------------------------------------------------------
@@ -582,11 +960,13 @@ def free_end_vel_shot(p0, p1, v0, max_vel: float = 3.0):
     # fallback duration when no positive root exists (degenerate dp = 0)
     T = jnp.where(jnp.isfinite(T), T, 1.0)
 
-    # per-axis end-velocity feasibility stretch (hybrid_astar.cpp:942-948)
+    # per-axis end-velocity feasibility stretch (hybrid_astar.cpp:942-948).
+    # The reference evaluates ve ONCE from the pre-stretch T (:942), so
+    # an axis-0 stretch does not change axis-1/2's trigger decisions.
+    ve = v0 + 3 * (dp - v0 * T[..., None]) / (2 * T[..., None])
     for i in range(3):
-        ve_i = v0[..., i] + 3 * (dp[..., i] - v0[..., i] * T) / (2 * T)
         Tp = 3 * dp[..., i] / (2 * (max_vel + 0.5 * v0[..., i]))
-        T = jnp.where((ve_i > (2.5 / 3) * max_vel) & (Tp > T), Tp, T)
+        T = jnp.where((ve[..., i] > (2.5 / 3) * max_vel) & (Tp > T), Tp, T)
 
     v1 = v0 + 3 * (dp - v0 * T[..., None]) / (2 * T[..., None])
     Te = T[..., None]

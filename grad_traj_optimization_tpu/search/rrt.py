@@ -378,8 +378,13 @@ class RRTPlanner:
     # -- internals ---------------------------------------------------------
 
     def _chain(self, i):
+        # bounded by node count: a rewire against stale descendant
+        # costs could in principle create a parent cycle; an unbounded
+        # walk would then never terminate (see the same guard in
+        # native/gtop_core.cpp chain_of)
         chain = [i]
-        while self.parents[chain[-1]] >= 0:
+        n = len(self.parents)
+        while self.parents[chain[-1]] >= 0 and len(chain) <= n:
             chain.append(self.parents[chain[-1]])
         chain.reverse()
         return chain

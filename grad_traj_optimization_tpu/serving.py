@@ -45,6 +45,27 @@ from grad_traj_optimization_tpu import solver as solve_mod
 from grad_traj_optimization_tpu.config import OptimizerConfig
 
 
+def _safe_resolve(fut: Future, result=None, exception=None):
+    """Resolve a future without killing the dispatch thread.
+
+    A client ``cancel()`` racing the dispatch (between the dequeue and
+    the resolution) makes ``set_result``/``set_exception`` raise
+    InvalidStateError; an unguarded raise would end ``_run`` and hang
+    every later submit.  ``set_running_or_notify_cancel`` claims the
+    future first (after it returns False — cancelled — no resolution is
+    attempted; after True a concurrent cancel can no longer land).
+    """
+    try:
+        if not fut.set_running_or_notify_cancel():
+            return  # client cancelled before dispatch claimed it
+        if exception is not None:
+            fut.set_exception(exception)
+        else:
+            fut.set_result(result)
+    except Exception:  # noqa: BLE001 — InvalidStateError et al.
+        pass
+
+
 @dataclasses.dataclass
 class ServerStats:
     n_requests: int = 0
@@ -171,7 +192,13 @@ class SolveServer:
                     self._cv.wait(timeout=remaining)
                 batch = self._queue[: self.max_batch]
                 del self._queue[: self.max_batch]
-            self._dispatch(batch)
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — keep the worker alive
+                # a dying dispatch thread would hang every later submit
+                # with no error surfaced; fail this batch instead
+                for _, f, _ in batch:
+                    _safe_resolve(f, exception=e)
 
     def _bucket(self, n: int) -> int:
         if not self.pad_buckets:
@@ -234,17 +261,16 @@ class SolveServer:
             host = jax.tree.map(np.asarray, sol)
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for f in futs:
-                if not f.cancelled():
-                    f.set_exception(e)
+                _safe_resolve(f, exception=e)
             return
         t_done = time.perf_counter()
         for i, f in enumerate(futs):
-            if not f.cancelled():
-                f.set_result(
-                    solve_mod.Solution(
-                        *jax.tree.map(lambda x: x[i], host)
-                    )
-                )
+            _safe_resolve(
+                f,
+                result=solve_mod.Solution(
+                    *jax.tree.map(lambda x: x[i], host)
+                ),
+            )
         with self._cv:
             self.stats.n_requests += n
             self.stats.n_batches += 1

@@ -17,6 +17,7 @@ import dataclasses
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -196,10 +197,23 @@ def _solve_field(
     record_trace: bool,
     bos_wp=None,
     dp_init=None,
+    T=None,
+    Df=None,
 ) -> Solution:
+    """Core unbatched solve against a prepared Field.
+
+    ``T``/``Df`` override the waypoint-derived segment times and fixed
+    derivatives — the setKinoPath seeding path (grad_traj_optimizer.
+    cpp:35-65), where times come from the search and the fixed block
+    carries the start/end kino states (pass ``dp_init`` from
+    qp.kino_d alongside).
+    """
     wp = waypoints
-    T = qp.allocate_times(wp, cfg.mean_v, cfg.init_time)
-    Df, dp0 = qp.straight_line_d(wp)
+    if T is None:
+        T = qp.allocate_times(wp, cfg.mean_v, cfg.init_time)
+    Df_wp, dp0 = qp.straight_line_d(wp)
+    if Df is None:
+        Df = Df_wp
     dep = qp.build_dep(T)
     ctx = penalty.build_ctx(T, Df, cfg, dep=dep)
     num_dp = dp0.shape[1]
@@ -259,9 +273,6 @@ def _solve_field(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "record_trace")
-)
 def solve(
     scenario: Scenario,
     cfg: OptimizerConfig = OptimizerConfig(),
@@ -290,15 +301,43 @@ def solve(
         m = scenario.waypoints.shape[0] - 1
         if sk.supports(
             scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
+        ) or (
+            scenario.grid_offset is None
+            and not _is_traced(scenario)
+            and cfg.auto_crop
         ):
             batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
-            # route through solve_batch: identical kernel dispatch plus
-            # the dual-race post-polish handling in one place
-            sol = solve_batch(
-                batch, cfg=cfg, steps=steps, record_trace=record_trace,
-                bos_wp=None if bos_wp is None else bos_wp[None],
-            )
-            return Solution(*jax.tree.map(lambda x: x[0], sol))
+            # route through solve_batch: identical kernel dispatch
+            # (including auto-crop — which can UNLOCK the kernel for
+            # grids too large for VMEM uncropped) plus the dual-race
+            # post-polish handling in one place
+            batch = _maybe_autocrop(batch, cfg)
+            if sk.supports(
+                batch.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
+            ):
+                sol = solve_batch(
+                    batch, cfg=cfg, steps=steps,
+                    record_trace=record_trace,
+                    bos_wp=None if bos_wp is None else bos_wp[None],
+                )
+                return Solution(*jax.tree.map(lambda x: x[0], sol))
+    return _solve_jit(
+        scenario, cfg=cfg, steps=steps, record_trace=record_trace,
+        bos_wp=bos_wp,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "record_trace")
+)
+def _solve_jit(
+    scenario: Scenario,
+    cfg: OptimizerConfig,
+    steps: tuple[int, ...],
+    record_trace: bool,
+    bos_wp=None,
+) -> Solution:
+    """The non-kernel single-scenario solve (see :func:`solve`)."""
     if scenario.grid_offset is not None:
         raise ValueError(
             "exact-cropped scenarios (grid_offset set) require the "
@@ -334,9 +373,64 @@ def solve(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "record_trace")
-)
+def _is_traced(scenarios) -> bool:
+    """True when any leaf is a tracer (inside jit/vmap — host-side
+    decisions like auto-crop must then be skipped)."""
+    return any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree.leaves(scenarios)
+    )
+
+
+#: grids below this voxel count skip the auto-crop attempt: deciding
+#: the window needs the waypoints on host (one device->host read =
+#: one tunnel RTT per call), which only pays off when the crop can
+#: remove a large fraction of a LARGE grid (the bench's 100x100x25 =
+#: 250k-voxel maps are already compute-saturated uncropped).
+_AUTO_CROP_MIN_VOXELS = 1 << 19
+
+
+def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
+    """Apply exact cropping when the kernel path will take it (VERDICT
+    r3 item 6: the reference's own map shape should hit the cropped
+    rate by default, opti_node.cpp:61).
+
+    Conditions: concrete inputs, TPU, lookup_mode "auto",
+    ``cfg.auto_crop``, a grid large enough for cropping to pay
+    (>= ``_AUTO_CROP_MIN_VOXELS``), an uncropped qualifying batch
+    (shared origin, uniform resolution), and a cropped shape the
+    whole-descent kernel supports.  Anything else returns the batch
+    unchanged — callers keep the exact pre-round-4 behavior.
+    """
+    if (
+        not cfg.auto_crop
+        or cfg.lookup_mode != "auto"
+        or scenarios.grid_offset is not None
+        or jax.default_backend() != "tpu"
+        or _is_traced(scenarios)
+    ):
+        return scenarios
+    nvox = int(np.prod(scenarios.dist.shape[1:]))
+    if nvox < _AUTO_CROP_MIN_VOXELS:
+        return scenarios
+    from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+    m = scenarios.waypoints.shape[1] - 1
+    try:
+        cropped = crop_scenarios(
+            scenarios, cfg, margin=cfg.crop_margin
+        )
+    except ValueError:  # mixed origins/resolutions or already cropped
+        return scenarios
+    if cropped is scenarios:
+        return scenarios
+    if not sk.supports(
+        cropped.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
+    ):
+        return scenarios
+    return cropped
+
+
 def solve_batch(
     scenarios: Scenario,
     cfg: OptimizerConfig = OptimizerConfig(),
@@ -355,7 +449,30 @@ def solve_batch(
     vmapped body; each lane indexes its slab by offset.  This keeps the
     hot trilinear lookup a single flat gather instead of a per-scenario
     batched gather (orders of magnitude slower on TPU).
+
+    On TPU with concrete inputs and ``cfg.auto_crop`` (the default),
+    qualifying batches are exact-cropped to their waypoint window
+    before dispatch (see :func:`crop_scenarios`) — the default fast
+    path for large maps.
     """
+    scenarios = _maybe_autocrop(scenarios, cfg)
+    return _solve_batch_jit(
+        scenarios, cfg=cfg, steps=steps, record_trace=record_trace,
+        bos_wp=bos_wp, dp0=dp0,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "record_trace")
+)
+def _solve_batch_jit(
+    scenarios: Scenario,
+    cfg: OptimizerConfig,
+    steps: tuple[int, ...],
+    record_trace: bool,
+    bos_wp=None,
+    dp0=None,
+) -> Solution:
     if cfg.seed_mode == "dual":
         # race both seeds through this same dispatch; per-lane best wins
         cfg_a, cfg_b = _dual_arm_cfgs(cfg)
@@ -551,7 +668,7 @@ def crop_scenarios(
 
 
 def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None,
-                  dp0=None):
+                  dp0=None, T=None, Df=None):
     """Prep the whole-descent Pallas kernel's inputs from a Scenario
     batch.
 
@@ -560,6 +677,11 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None,
     ``(Df, dp0, T)`` for post-processing the kernel outputs into a
     Solution.  Shared by :func:`solve_batch_kernel` and the kernel
     profiling script (scripts/profile_kernel_ablate.py).
+
+    ``T``/``Df`` (batched) override the waypoint-derived segment times
+    and fixed derivatives — the setKinoPath seeding path (pass ``dp0``
+    from qp.kino_d alongside); ``scenarios.waypoints`` then carries the
+    knot positions (they still center the position bounds).
     """
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
     from grad_traj_optimization_tpu.ops import trilinear_pallas as tp
@@ -569,10 +691,12 @@ def kernel_inputs(scenarios: Scenario, cfg: OptimizerConfig, bos_wp=None,
     m = wp.shape[1] - 1
     ein = penalty._einsum
 
-    T = jax.vmap(lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time))(
-        wp
-    )
-    Df, dp0_straight = jax.vmap(qp.straight_line_d)(wp)  # (B,3,6), (B,3,P)
+    if T is None:
+        T = jax.vmap(
+            lambda w: qp.allocate_times(w, cfg.mean_v, cfg.init_time)
+        )(wp)
+    Df_wp, dp0_straight = jax.vmap(qp.straight_line_d)(wp)
+    Df = Df_wp if Df is None else Df  # (B,3,6), (B,3,P)
     # the sample quadrature, bases and TL/TVL gradient chains come from
     # penalty.build_ctx_batch — the single home of the reference's
     # 30-sample/1e-3-offset quirk — NOT re-derived here
@@ -688,6 +812,8 @@ def solve_batch_kernel(
     interpret: bool = False,
     bos_wp=None,
     dp0=None,
+    T=None,
+    Df=None,
 ) -> Solution:
     """Batch solve with the WHOLE descent fused into one Pallas kernel.
 
@@ -712,14 +838,14 @@ def solve_batch_kernel(
         return _combine_dual(
             solve_batch_kernel(scenarios, cfg=cfg_a, steps=steps,
                                interpret=interpret, bos_wp=bos_wp,
-                               dp0=dp0),
+                               dp0=dp0, T=T, Df=Df),
             solve_batch_kernel(scenarios, cfg=cfg_b, steps=steps,
                                interpret=interpret, bos_wp=bos_wp,
-                               dp0=dp0),
+                               dp0=dp0, T=T, Df=Df),
         )
 
     kargs, (Df, dp0, T) = kernel_inputs(
-        scenarios, cfg, bos_wp=bos_wp, dp0=dp0
+        scenarios, cfg, bos_wp=bos_wp, dp0=dp0, T=T, Df=Df
     )
     phases = tuple(
         (s, cfg.iters_step1 if s == 1 else cfg.iters_step2) for s in steps
@@ -745,6 +871,104 @@ def solve_batch_kernel(
         n_accept=n_acc,
         dp=dp_safe,
         status=status,
+    )
+
+
+def solve_kino_batch(
+    dists,
+    origins,
+    resolutions,
+    pos,
+    vel,
+    acc,
+    times,
+    cfg: OptimizerConfig = OptimizerConfig(),
+    steps: tuple[int, ...] = (2,),
+    record_trace: bool = False,
+    bos_wp=None,
+) -> Solution:
+    """Batched setKinoPath + optimizeTrajectory (the reference's
+    search-seeded back-end, grad_traj_optimizer.cpp:35-65 + compare2's
+    refinement stage :233-321): Hermite-seed from search knot states
+    and refine under bounds centered on the knot positions.
+
+    On TPU this rides the whole-descent Pallas kernel (with auto-crop),
+    making (beam search -> seed -> refine) one device-resident
+    pipeline; elsewhere it falls back to the vmapped JAX path.
+
+    Args:
+      dists: (B, nx, ny, nz) or (1, ...) shared; origins (B, 3);
+      resolutions (B,); pos/vel/acc (B, m+1, 3) knot states;
+      times (B, m) segment durations.
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    scn = Scenario(
+        dist=jnp.asarray(dists),
+        origin=jnp.asarray(origins, jnp.float32),
+        resolution=jnp.asarray(resolutions, jnp.float32),
+        waypoints=pos,
+    )
+    T = jnp.asarray(times, jnp.float32)
+    Df, dp0 = jax.vmap(qp.kino_d)(
+        pos, jnp.asarray(vel, jnp.float32), jnp.asarray(acc, jnp.float32)
+    )
+    m = pos.shape[1] - 1
+    if cfg.lookup_mode == "auto" and jax.default_backend() == "tpu":
+        from grad_traj_optimization_tpu.ops import solve_pallas as sk
+
+        scn = _maybe_autocrop(scn, cfg)
+        if sk.supports(
+            scn.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
+        ):
+            return solve_batch_kernel(
+                scn, cfg=cfg, steps=steps, bos_wp=bos_wp, dp0=dp0,
+                T=T, Df=Df,
+            )
+    if scn.grid_offset is not None:  # pragma: no cover — crop is TPU-only
+        raise ValueError("cropped scenarios require the kernel path")
+    return _solve_kino_fallback(
+        scn, T, Df, dp0, cfg=cfg, steps=steps,
+        record_trace=record_trace, bos_wp=bos_wp,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "record_trace")
+)
+def _solve_kino_fallback(
+    scn: Scenario, T, Df, dp0,
+    cfg: OptimizerConfig,
+    steps: tuple[int, ...],
+    record_trace: bool,
+    bos_wp=None,
+) -> Solution:
+    """Non-kernel kino-seeded batch solve (vmapped flat-buffer path)."""
+    B = scn.waypoints.shape[0]
+    grid_shape = scn.dist.shape[1:]
+    nvox = grid_shape[0] * grid_shape[1] * grid_shape[2]
+    flat_all = scn.dist.reshape(-1)
+    shared = scn.dist.shape[0] == 1
+    bases = (
+        jnp.zeros((B,), jnp.int32) if shared
+        else jnp.arange(B, dtype=jnp.int32) * nvox
+    )
+    shared_grid = scn.dist[0] if shared else None
+
+    def one(base, grid, origin, resolution, waypoints, Ti, Dfi, dpi, bwp):
+        field = penalty.Field(
+            flat=flat_all, base=base, origin=origin,
+            resolution=resolution,
+            grid=shared_grid if shared else grid,
+        )
+        return _solve_field(
+            field, grid_shape, waypoints, cfg, steps, record_trace,
+            bos_wp=bwp, dp_init=dpi, T=Ti, Df=Dfi,
+        )
+
+    grids = jnp.zeros((B, 0)) if shared else scn.dist
+    return jax.vmap(one)(
+        bases, grids, scn.origin, scn.resolution, scn.waypoints,
+        T, Df, dp0, bos_wp,
     )
 
 

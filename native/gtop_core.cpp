@@ -89,7 +89,7 @@ extern "C" {
 
 // cfg-array ABI version of gtop_solve (bump when cfg fields are added
 // or entry points change so stale .so files fail loudly)
-int gtop_abi_version() { return 5; }
+int gtop_abi_version() { return 6; }
 
 // Exact unsigned EDT of an occupancy grid (x-major layout, matching the
 // reference's x*ny*nz + y*nz + z).  out in meters, min-capped at 10000.
@@ -1200,14 +1200,98 @@ double h_geom_heu(int mode, const int* i1, const int* i2) {
   return h;
 }
 
+// Free-end-velocity minimum-acceleration cubic shot
+// (HybridAStarPathFinder::getOptimalTime / getShotTrajectory,
+// hybrid_astar.cpp:902-967).  The optimal duration minimizes the
+// acceleration integral 3 ||v0 T - dp||^2 / T^3 over the positive roots
+// of its derivative quadratic 3 v0.v0 T^2 - 12 dp.v0 T + 9 dp.dp, then
+// stretches per axis so the implied end velocity stays within
+// (2.5/3) max_vel (ve evaluated ONCE from the pre-stretch T, :942-948).
+// The reference leaves two cases UB (a == 0 quadratic divides by zero;
+// opti_time uninitialized when no positive root exists); both are
+// defined here exactly as in the JAX port (search/kinodynamic.py
+// free_end_vel_shot): linear root when a ~ 0, fallback T = 1.
+void free_shot(const double* p0, const double* p1, const double* v0,
+               double max_vel, double* coef /*(3,4) asc powers*/,
+               double* T_out, double* v1_out) {
+  double dp[3];
+  for (int a = 0; a < 3; ++a) dp[a] = p1[a] - p0[a];
+  double A = 0, Bq = 0, Cq = 0;
+  for (int a = 0; a < 3; ++a) {
+    A += 3.0 * v0[a] * v0[a];
+    Bq += -12.0 * dp[a] * v0[a];
+    Cq += 9.0 * dp[a] * dp[a];
+  }
+  double roots[3];
+  int nr = 0;
+  if (std::fabs(A) > 1e-12) {
+    double disc = Bq * Bq - 4 * A * Cq;
+    if (disc >= 0) {
+      double sq = std::sqrt(disc);
+      roots[nr++] = (-Bq + sq) / (2 * A);
+      roots[nr++] = (-Bq - sq) / (2 * A);
+    }
+  } else if (std::fabs(Bq) > 1e-12) {
+    roots[nr++] = -Cq / Bq;
+  }
+  double T = kInf, best = kInf;
+  for (int i = 0; i < nr; ++i) {
+    if (!(roots[i] > 0)) continue;
+    double t = roots[i];
+    double td = std::max(t, 1e-9);
+    double c = 0;
+    for (int a = 0; a < 3; ++a) {
+      double r = v0[a] * t - dp[a];
+      c += r * r;
+    }
+    c = 3.0 * c / (td * td * td);
+    if (c < best) {
+      best = c;
+      T = t;
+    }
+  }
+  if (!std::isfinite(T)) T = 1.0;  // degenerate dp = 0 (JAX-port fallback)
+  // per-axis end-velocity feasibility stretch, ve from the PRE-stretch T
+  double ve[3];
+  for (int a = 0; a < 3; ++a)
+    ve[a] = v0[a] + 3.0 * (dp[a] - v0[a] * T) / (2.0 * T);
+  for (int a = 0; a < 3; ++a) {
+    if (ve[a] > (2.5 / 3.0) * max_vel) {
+      double Tp = 3.0 * dp[a] / (2.0 * (max_vel + 0.5 * v0[a]));
+      if (Tp > T) T = Tp;
+    }
+  }
+  for (int a = 0; a < 3; ++a) {
+    double r = dp[a] - v0[a] * T;
+    v1_out[a] = v0[a] + 3.0 * r / (2.0 * T);
+    coef[4 * a + 0] = p0[a];
+    coef[4 * a + 1] = v0[a];
+    coef[4 * a + 2] = 3.0 * r / (2.0 * T * T);
+    coef[4 * a + 3] = -r / (2.0 * T * T * T);
+  }
+  *T_out = T;
+}
+
 }  // namespace
+
+// Free-end-velocity one-shot, exposed for exact-port cross-checks
+// against the JAX port (search/kinodynamic.py free_end_vel_shot).
+extern "C" void gtop_free_shot(const double* p0, const double* p1,
+                               const double* v0, double max_vel,
+                               double* coef, double* T_out, double* v1_out) {
+  free_shot(p0, p1, v0, max_vel, coef, T_out, v1_out);
+}
 
 // Exact hybrid A* search (compare2's front-end).
 //
 // cfg: [max_acc, max_vel, max_tau, w_time, lambda_heu, horizon,
 //       max_iters, init_max_tau, use_init (0/1), heu_mode
 //       (0 kinodynamic / 1 diag / 2 manhattan / 3 euclid),
-//       clearance_margin (reference hard-codes 0.2, :644)]
+//       clearance_margin (reference hard-codes 0.2, :644),
+//       shot_mode (0 fixed-end-vel shotHeu :1023-1101;
+//       1 free-end-vel freeEndVelShot :969-1021 — present in the
+//       reference but unwired from searchPath; the goal knot then
+//       carries the shot's free end velocity)]
 // start: 9 doubles = state (pos, vel) + start acceleration (init mode
 // expands with um = start_acc, hybrid_astar.cpp:1377-1447).
 // out_status: 0 NO_PATH, 1 REACH_END, 2 REACH_HORIZON
@@ -1227,6 +1311,7 @@ extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
   const bool use_init = cfg[8] > 0.5;
   const int heu_mode = int(cfg[9]);
   const double margin = cfg[10];
+  const int shot_mode = int(cfg[11]);
   const double tie_breaker = 1.0 + 1.0 / 10000.0;  // hybrid_astar.h:94
   *out_status = 0;
 
@@ -1281,6 +1366,7 @@ extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
 
   bool is_shot_succ = false;
   double t_shot = 0.0;
+  double shot_end_vel[3] = {0, 0, 0};  // free-end-vel shot's v1
   int64_t terminate_key = -1;
   bool first_expand = use_init;
   int num_iter = 0;
@@ -1302,7 +1388,35 @@ extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
         std::sqrt(dx0 * dx0 + dy0 * dy0 + dz0 * dz0) >= horizon;
 
     if (reach_horizon || near_end) {
-      if (near_end) {
+      if (near_end && shot_mode == 1) {
+        // freeEndVelShot (:969-1021): min-acc cubic to the goal
+        // POSITION with free end velocity; samples spaced ~sqrt(3)*res
+        // along the shot, checked against OCCUPANCY (:1004-1013)
+        double cf[12], T, v1[3];
+        free_shot(cur.state, goal, cur.state + 3, max_vel, cf, &T, v1);
+        double dpn = 0;
+        for (int a = 0; a < 3; ++a)
+          dpn += (goal[a] - cur.state[a]) * (goal[a] - cur.state[a]);
+        int step = (int)std::ceil(std::sqrt(dpn) /
+                                  (std::sqrt(3.0) * resolution));
+        double t_delta = T / std::max(step, 1);
+        bool ok = true;
+        for (double time = t_delta; time <= T && ok; time += t_delta) {
+          double p[3];
+          int i3[3];
+          for (int a = 0; a < 3; ++a)
+            p[a] = cf[4 * a] + cf[4 * a + 1] * time +
+                   cf[4 * a + 2] * time * time +
+                   cf[4 * a + 3] * time * time * time;
+          vox(p, i3);
+          if (!in_grid(i3) || dist_at_idx(i3) <= 0.0) ok = false;
+        }
+        if (ok) {
+          is_shot_succ = true;
+          t_shot = std::max(T, 1e-2);
+          for (int a = 0; a < 3; ++a) shot_end_vel[a] = v1[a];
+        }
+      } else if (near_end) {
         // shotHeu (:1023-1101): fixed-end-velocity cubic over the
         // node's stored Pontryagin optimal time; 10 forward samples
         // checked against OCCUPANCY (not the 0.2 clearance — :1096)
@@ -1492,7 +1606,10 @@ extern "C" int gtop_hybrid_search(const float* dist, int nx, int ny, int nz,
     out_times[w - 1 >= 0 ? w - 1 : 0] = t_shot;
     for (int a = 0; a < 3; ++a) {
       out_knots[9 * w + a] = goal[a];
-      out_knots[9 * w + 3 + a] = 0.0;  // reference zero end vel
+      // shot_mode 0: the reference writes a ZERO goal velocity
+      // (getKinoTrajMat, hybrid_astar.cpp:1117); shot_mode 1 carries
+      // the free shot's end velocity (end_vel usage :1264-1269)
+      out_knots[9 * w + 3 + a] = shot_end_vel[a];
       out_knots[9 * w + 6 + a] = 0.0;
     }
     ++w;
@@ -1751,8 +1868,16 @@ struct RRTTree {
   }
 
   std::vector<int> chain_of(int i) const {
+    // Bounded by node count: a rewire against stale descendant costs
+    // could in principle attach an ancestor under its own descendant
+    // (parent cycle); an unbounded walk would then hang the process
+    // inside gtop_rrt_path_len/reset_root.  A cycle is truncated at
+    // n nodes instead (the traced path is garbage but finite; the
+    // caller's validity checks reject it).
     std::vector<int> chain{i};
-    while (parents[chain.back()] >= 0) chain.push_back(parents[chain.back()]);
+    const size_t n = parents.size();
+    while (parents[chain.back()] >= 0 && chain.size() <= n)
+      chain.push_back(parents[chain.back()]);
     std::reverse(chain.begin(), chain.end());
     return chain;
   }
@@ -1840,6 +1965,14 @@ void gtop_rrt_get_path(void* h, double* path, double* radii_out) {
   }
   for (int a = 0; a < 3; ++a) path[3 * k + a] = t->goal[a];
   radii_out[k] = std::max(t->clearance(t->goal), t->min_radius);
+}
+
+// Current root ball (center, radius) — what the Python planner returns
+// as its length-1 "path" when the goal is unreached (rrt.py result()).
+void gtop_rrt_root(void* h, double* out_center, double* out_radius) {
+  RRTTree* t = (RRTTree*)h;
+  for (int a = 0; a < 3; ++a) out_center[a] = t->centers[t->root][a];
+  *out_radius = t->radii[t->root];
 }
 
 // resetRoot/costRecast (path_finder.cpp:302-375): commit a new root as

@@ -73,9 +73,15 @@ def main():
 
     results = {}
     sols = {}
+    # the full arm must disable round-4 auto-crop or it silently
+    # measures the cropped program too
+    import dataclasses as _dc
+
+    cfg_full = _dc.replace(cfg, auto_crop=False)
     for name, scns in (("full", batch), ("crop", cropped)):
+        cfg_arm = cfg_full if name == "full" else cfg
         run = lambda: solve_mod.solve_batch(
-            scns, cfg=cfg, steps=(2,), record_trace=False
+            scns, cfg=cfg_arm, steps=(2,), record_trace=False
         )
         s = run()
         sync(s)  # compile + warm

@@ -36,11 +36,14 @@ sys.path.insert(
 def _force_cpu():
     import jax
 
-    if jax.default_backend() != "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass  # backend already initialized (e.g. under pytest)
+    # NOTE: do NOT query jax.default_backend() first — that call
+    # INITIALIZES the backend (axon/TPU on this host), after which the
+    # config update raises and the whole suite silently runs over the
+    # remote-TPU tunnel.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (e.g. under pytest conftest)
 
 
 def make_case(rng, map_cfg=None):
@@ -51,18 +54,28 @@ def make_case(rng, map_cfg=None):
     return fixtures.random_search_case(rng, map_cfg=map_cfg)
 
 
-def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
+def refine_cost(dist, origin, res, pos, vel, acc, times, cfg,
+                retime: str = "search", **retime_kw):
     """Hermite seed -> penalty refinement -> (final step-2 cost, T_sum,
-    jerk).  Mirrors replan._refine_kino but returns the objective."""
+    jerk).  Mirrors replan._refine_kino but returns the objective.
+
+    ``retime``: segment-duration re-allocation applied AFTER the knot
+    resample (kinodynamic.retime_knots) — "search" keeps the search
+    durations (reference setKinoPath semantics)."""
     import jax.numpy as jnp
 
     from grad_traj_optimization_tpu.core import poly, qp
     from grad_traj_optimization_tpu.opt import descent, penalty
     from grad_traj_optimization_tpu import replan
+    from grad_traj_optimization_tpu.search import kinodynamic
 
     pos, vel, acc, times = replan._resample_knots(
         pos, vel, acc, times, 6
     )
+    if retime != "search":
+        times = kinodynamic.retime_knots(
+            pos, vel, times, mode=retime, **retime_kw
+        )
     T = jnp.asarray(times, jnp.float32)
     Df, dp0 = qp.kino_d(
         jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
@@ -94,7 +107,9 @@ def refine_cost(dist, origin, res, pos, vel, acc, times, cfg):
 
 def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
               beam: int = 64, margin: float = 0.2, verbose: bool = True,
-              exact: str = "kino", beam_max_tau: float = 0.5):
+              exact: str = "kino", beam_max_tau: float = 0.5,
+              retime: str = "search", retries: int = 0,
+              shot_mode: int = 0):
     """Returns the aggregate stats dict (and prints a per-case line).
 
     ``exact`` picks the host oracle the beam is gated against:
@@ -102,7 +117,13 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
     kinodynamic_astar.cpp:17-315); "hybrid" = native.hybrid_search
     (compare2's front-end, hybrid_astar.cpp:219-446, with its
     setParameterAuto params: max_tau=1, w_time=10, lambda_heu=5,
-    horizon=50 and hard-coded 0.2 m clearance).
+    horizon=50 and hard-coded 0.2 m clearance; ``shot_mode=1``
+    switches its one-shot to the free-end-vel family,
+    hybrid_astar.cpp:969-1021).
+
+    ``retime``: beam-seed duration re-allocation before refinement
+    (kinodynamic.retime_knots).  ``retries``: adaptive beam widening
+    rounds on failure (kinodynamic.search_adaptive).
     """
     _force_cpu()
     import jax.numpy as jnp
@@ -113,7 +134,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
 
     rng = np.random.default_rng(seed)
     cfg = OptimizerConfig(iters_step2=40)
-    n_exact = n_beam = n_both = n_valid = 0
+    n_exact = n_beam = n_both = n_valid = n_retried = 0
     ratios_cost, ratios_time, ratios_jerk = [], [], []
     for case in range(n_cases):
         c = make_case(rng)
@@ -127,7 +148,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
         if exact == "hybrid":
             ph = native.hybrid_search(
                 np.asarray(dist), origin, res, s6, g6, margin=margin,
-                max_vel=3.0, max_acc=2.0,
+                max_vel=3.0, max_acc=2.0, shot_mode=shot_mode,
             )
             ok_e = ph[4] == native.HYBRID_REACH_END and len(ph[3]) >= 1
             pe = (*ph[:4], ok_e)
@@ -137,12 +158,14 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
                 max_vel=3.0, max_acc=2.0, max_tau=0.5, goal_r=1e9,
             )
             ok_e = bool(pe[4])
-        kb = kinodynamic.search(
+        kb, _n_retry = kinodynamic.search_adaptive(
             dist, jnp.asarray(origin, jnp.float32), res,
             s6.astype(np.float32), g6.astype(np.float32),
             margin=margin, max_vel=3.0, max_acc=2.0,
             max_iters=kino_iters, beam=beam, max_tau=beam_max_tau,
+            retries=retries,
         )
+        n_retried += _n_retry
         ok_b = bool(kb.reached)
         n_exact += ok_e
         n_beam += ok_b
@@ -154,7 +177,8 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             )
             cb, tb, jb = refine_cost(
                 dist, origin, res, np.asarray(kb.pos), np.asarray(kb.vel),
-                np.asarray(kb.acc), np.asarray(kb.times), cfg
+                np.asarray(kb.acc), np.asarray(kb.times), cfg,
+                retime=retime,
             )
             ratios_cost.append(cb / max(ce, 1e-9))
             ratios_time.append(tb / max(te, 1e-9))
@@ -180,6 +204,13 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
         "beam": beam,
         "beam_max_tau": beam_max_tau,
         "exact_arm": exact,
+        "retime": retime,
+        "retries": retries,
+        "n_retried": n_retried,
+        "time_ratio_p90": (
+            float(np.percentile(ratios_time, 90)) if ratios_time
+            else float("nan")
+        ),
     }
     return stats
 

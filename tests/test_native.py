@@ -538,3 +538,71 @@ def test_native_rrt_reset_root_and_unreachable():
     )
     assert not p2.grow(400)
     assert not p2.result().reached
+
+
+def test_native_free_shot_matches_jax_port():
+    """gtop_free_shot is an exact port of getOptimalTime/getShotTrajectory
+    (hybrid_astar.cpp:902-967); cross-check coef/T/v1 against the JAX
+    port (search.kinodynamic.free_end_vel_shot) on random cases."""
+    from grad_traj_optimization_tpu.search import kinodynamic
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        p0 = rng.uniform(-5, 5, 3)
+        p1 = rng.uniform(-5, 5, 3)
+        v0 = rng.uniform(-3, 3, 3)
+        c_c, T_c, v1_c = native.free_shot(p0, p1, v0, 3.0)
+        c_j, T_j, v1_j = kinodynamic.free_end_vel_shot(
+            jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32),
+            jnp.asarray(v0, jnp.float32), 3.0,
+        )
+        # f32 JAX vs f64 C++: tolerance covers the dtype gap
+        assert abs(float(T_j) - T_c) < 1e-3 * max(1.0, abs(T_c))
+        np.testing.assert_allclose(
+            np.asarray(c_j), c_c, rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1_j), v1_c, rtol=2e-3, atol=2e-3
+        )
+
+
+def test_native_hybrid_free_end_vel_shot_mode():
+    """shot_mode=1 fires the reference's (unwired) freeEndVelShot family
+    (hybrid_astar.cpp:969-1021): the goal knot carries the shot's free
+    end velocity instead of the fixed zero."""
+    dist, origin, res = gap_wall_map(-0.8, 0.8)
+    s6 = np.array([0.0, -3.0, 2.0, 0.0, 0.0, 0.0])
+    g6 = np.array([0.0, 3.0, 2.0, 0.0, 0.0, 0.0])
+    pos0, vel0, _, t0, st0 = native.hybrid_search(
+        dist, origin, res, s6, g6, margin=0.2, shot_mode=0
+    )
+    pos1, vel1, _, t1, st1 = native.hybrid_search(
+        dist, origin, res, s6, g6, margin=0.2, shot_mode=1
+    )
+    assert st0 == native.HYBRID_REACH_END
+    assert st1 == native.HYBRID_REACH_END
+    # both land the goal; the free-vel variant's end velocity is the
+    # shot's v1 (generally nonzero), within the (2.5/3)*max_vel bound
+    np.testing.assert_allclose(pos0[-1], g6[:3], atol=1e-9)
+    np.testing.assert_allclose(pos1[-1], g6[:3], atol=1e-9)
+    np.testing.assert_allclose(vel0[-1], 0.0, atol=1e-12)
+    assert np.all(vel1[-1] <= (2.5 / 3.0) * 3.0 + 1e-9)
+
+
+def test_native_rrt_unreached_result_matches_python_shape():
+    """Surface parity: an unreached native planner returns a 1-point
+    root path exactly like rrt.RRTPlanner (not an empty array)."""
+    from grad_traj_optimization_tpu.search import rrt
+
+    solid, origin, res = gap_wall_map(1.0, 1.0)  # no gap
+    start = np.array([0.0, -3.0, 2.0])
+    goal = np.array([0.0, 3.0, 2.0])
+    pn = native.NativeRRTPlanner(solid, origin, res, start=start,
+                                 goal=goal, seed=1)
+    pp = rrt.RRTPlanner(solid, origin, res, start=start, goal=goal,
+                        seed=1)
+    rn, rp = pn.result(), pp.result()
+    assert not rn.reached and not rp.reached
+    assert rn.path.shape == rp.path.shape == (1, 3)
+    np.testing.assert_allclose(rn.path[0], start)
+    np.testing.assert_allclose(rn.radii, rp.radii)

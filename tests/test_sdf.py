@@ -151,3 +151,64 @@ def test_trilinear_mxu_matches_elem():
     d_e, g_e = sdf.distance_and_gradient(jnp.asarray(grid), origin, res, q)
     np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_e), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_e), atol=2e-4)
+
+
+def test_edt_update_add_exact_vs_full_recompute():
+    """Region-limited incremental update (reference setUpdateRange,
+    sdf_map.cpp:244-262, sweep bounds :311-364): additions inside the
+    box are BITWISE equal to a full recompute — both with whole-grid
+    influence and with out_margin >= max(prev)/res."""
+    rng = np.random.default_rng(3)
+    res = 0.2
+    for _ in range(3):
+        occ0 = (rng.random((32, 28, 16)) < 0.012).astype(np.float32)
+        d0 = sdf.edt(jnp.asarray(occ0), res, backend="jnp")
+        lo, hi = (8, 6, 3), (20, 18, 12)
+        occ1 = occ0.copy()
+        adds = rng.integers(lo, hi, size=(5, 3))
+        for a in adds:
+            occ1[tuple(a)] = 1.0
+        d_full = np.asarray(sdf.edt(jnp.asarray(occ1), res, backend="jnp"))
+        d_inc = np.asarray(
+            sdf.edt_update(d0, jnp.asarray(occ1), res, lo, hi, mode="add")
+        )
+        assert np.array_equal(d_full, d_inc)
+        m = int(np.ceil(float(np.max(np.asarray(d0))) / res)) + 1
+        d_win = np.asarray(
+            sdf.edt_update(
+                d0, jnp.asarray(occ1), res, lo, hi, mode="add",
+                out_margin=m,
+            )
+        )
+        assert np.array_equal(d_full, d_win)
+
+
+def test_edt_update_reset_exact_on_edit_region():
+    """Reset mode = the reference's literal windowed rebuild (resetBuffer
+    + box-bounded sweeps): handles removals; exact on cells whose true
+    nearest occupied lies inside the box (the caller-margin contract the
+    reference ships) — in particular the edit region itself when the box
+    pads it by max-distance influence."""
+    rng = np.random.default_rng(5)
+    res = 0.2
+    occ0 = (rng.random((36, 32, 18)) < 0.015).astype(np.float32)
+    d0 = sdf.edt(jnp.asarray(occ0), res, backend="jnp")
+    elo, ehi = (14, 12, 7), (19, 17, 11)
+    occ1 = occ0.copy()
+    occ1[elo[0]:ehi[0], elo[1]:ehi[1], elo[2]:ehi[2]] = 0.0  # removals
+    occ1[16, 14, 9] = 1.0                                    # an add
+    d_full = np.asarray(sdf.edt(jnp.asarray(occ1), res, backend="jnp"))
+    pad = int(np.ceil(float(d_full.max()) / res)) + 2
+    blo = tuple(max(0, l - pad) for l in elo)
+    bhi = tuple(min(g, h + pad) for h, g in zip(ehi, occ0.shape))
+    d_inc = np.asarray(
+        sdf.edt_update(d0, jnp.asarray(occ1), res, blo, bhi, mode="reset")
+    )
+    esl = tuple(slice(l, h) for l, h in zip(elo, ehi))
+    assert np.array_equal(d_full[esl], d_inc[esl])
+    # outside the box: untouched (reference semantics)
+    mask = np.ones(occ0.shape, bool)
+    mask[tuple(slice(l, h) for l, h in zip(blo, bhi))] = False
+    assert np.array_equal(np.asarray(d0)[mask], d_inc[mask])
+    # windowed distances never UNDERestimate (fewer sources)
+    assert np.all(d_inc >= d_full - 1e-6)

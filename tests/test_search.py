@@ -465,3 +465,126 @@ def test_beam_vs_hybrid_exact_gate():
         assert stats["cost_ratio_geomean"] < 1.6
         assert stats["time_ratio_geomean"] < 1.2
         assert stats["jerk_ratio_geomean"] < 1.0
+
+
+def test_box_lookup_bitwise_equals_gather():
+    """The TPU box-lookup path (per-parent dynamic-sliced boxes +
+    exact one-hot contractions) must produce BITWISE the search as the
+    gather path when the shot sweep covers all slots (shot_topk=beam);
+    search_batch lanes must equal per-case searches."""
+    rng = np.random.default_rng(11)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 3:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    for dist, origin, res, start, goal in cases:
+        s6 = np.concatenate([start, np.zeros(3)]).astype(np.float32)
+        g6 = np.concatenate([goal, np.zeros(3)]).astype(np.float32)
+        rg = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            lookup="gather",
+        )
+        rb = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            lookup="box", shot_topk=64,
+        )
+        for a, b in zip(rg, rb):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases])
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    rbatch = kinodynamic.search_batch(
+        dists, origins, cases[0][2], starts, goals, lookup="gather"
+    )
+    for i, (dist, origin, res, start, goal) in enumerate(cases):
+        r1 = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, starts[i],
+            goals[i], lookup="gather",
+        )
+        for a, b in zip(r1, rbatch):
+            assert np.array_equal(np.asarray(a), np.asarray(b)[i])
+
+
+def test_retime_knots_modes():
+    pos = np.array([[0, 0, 1], [1.8, 0, 1], [3.6, 0, 1]], np.float64)
+    vel = np.zeros((3, 3))
+    times = np.array([0.5, 0.5])
+    t_search = kinodynamic.retime_knots(pos, vel, times, mode="search")
+    np.testing.assert_allclose(t_search, times)
+    t_mv = kinodynamic.retime_knots(pos, vel, times, mode="mean_v",
+                                    mean_v=1.8)
+    np.testing.assert_allclose(t_mv, [1.0, 1.0])
+    t_st = kinodynamic.retime_knots(pos, vel, times, mode="stretch",
+                                    stretch=1.5)
+    np.testing.assert_allclose(t_st, [0.75, 0.75])
+    t_p = kinodynamic.retime_knots(pos, vel, times, mode="pontryagin")
+    assert np.all(t_p > 0.1) and np.all(np.isfinite(t_p))
+
+
+def test_resample_knots_batch_hermite_exact():
+    """The batched resampler's cubic-Hermite interpolation must
+    reconstruct the true branch geometry: on a direct-shot lane the
+    resampled knots lie ON the shot cubic (computeShotTraj,
+    kinodynamic_astar.cpp:393-404), and a kino-seeded batched solve
+    agrees with the unbatched replan._refine_kino."""
+    from grad_traj_optimization_tpu import fixtures, replan
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    rng = np.random.default_rng(2)
+    cases = []
+    while len(cases) < 3:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases])
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    rb = kinodynamic.search_batch(
+        dists, origins, res, starts, goals, lookup="gather"
+    )
+    p6, v6, a6, t6 = kinodynamic.resample_knots_batch(
+        rb.pos, rb.vel, rb.acc, rb.times, 6
+    )
+    assert np.all(np.asarray(t6) > 0)
+    for i in range(3):
+        # endpoints: the resample starts at the first REAL knot (the
+        # vehicle start — the masked dupes collapse onto cum-time 0)
+        # and ends at the branch end (the goal for reached lanes)
+        if bool(rb.reached[i]):
+            np.testing.assert_allclose(
+                np.asarray(p6[i][0]), starts[i][:3], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(p6[i][-1]), goals[i][:3], atol=1e-5
+            )
+
+    cfg = OptimizerConfig(iters_step2=20)
+    sols = solve_mod.solve_kino_batch(
+        dists, origins, np.full(3, res, np.float32), p6, v6, a6, t6,
+        cfg=cfg, steps=(2,),
+    )
+    assert np.all(np.asarray(sols.status) == 0)
+    assert np.all(np.asarray(sols.cost) < 1e5)
+    coeff_r, _ = replan._refine_kino(
+        jnp.asarray(dists[1]), jnp.asarray(origins[1], jnp.float32),
+        jnp.asarray(res, jnp.float32), p6[1], v6[1], a6[1], t6[1], cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coeff_r), np.asarray(sols.coeff[1]), atol=1e-4
+    )

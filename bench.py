@@ -122,6 +122,66 @@ def main():
         reps.append((time.perf_counter() - t0) / K * 1e3)
     amortized_ms = float(np.median(reps))
 
+    # ---- front-end + full pipeline (round 4) ----
+    # The reference's compare2 times BOTH stages (search
+    # compare2.cpp:168-177, optimization :296-321); these rows time the
+    # batched beam search and the full search -> Hermite-seed -> refine
+    # pipeline on the same bench scenarios.  All stages are jitted and
+    # chain device-side (no host readbacks between stages).
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+
+    starts = np.concatenate(
+        [np.asarray(wps)[:, 0], np.zeros((BATCH, 3))], axis=1
+    ).astype(np.float32)
+    goals = np.concatenate(
+        [np.asarray(wps)[:, -1], np.zeros((BATCH, 3))], axis=1
+    ).astype(np.float32)
+    origins_b = np.broadcast_to(np.asarray(origin), (BATCH, 3))
+
+    def run_search():
+        return kd.search_batch(
+            dist, origins_b, res, starts, goals, max_iters=16, beam=64
+        )
+
+    rb = run_search()
+    _ = float(jnp.sum(rb.cost))  # compile + warm (host-read sync)
+    t_se = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        r2 = run_search()
+        _ = float(jnp.sum(r2.cost))
+        t_se.append(time.perf_counter() - t0)
+    t_search = min(t_se)
+    n_reached = int(jnp.sum(rb.reached))
+
+    ress_b = np.full((BATCH,), res, np.float32)
+
+    def run_pipeline():
+        r = run_search()
+        p6, v6, a6, t6 = kd.resample_knots_batch(
+            r.pos, r.vel, r.acc, r.times, 6
+        )
+        return solve_mod.solve_kino_batch(
+            dist, jnp.asarray(origins_b), jnp.asarray(ress_b),
+            p6, v6, a6, t6, cfg=cfg, steps=(2,),
+        )
+
+    sp = run_pipeline()
+    sync(sp)
+    t_pl = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        sync(run_pipeline())
+        t_pl.append(time.perf_counter() - t0)
+    t_pipeline = min(t_pl)
+    frontend_stats = {
+        "frontend_searches_per_s": round(BATCH / t_search, 1),
+        "frontend_reached": n_reached,
+        "pipeline_solves_per_s": round(BATCH / t_pipeline, 1),
+        "pipeline_n_ok": int(jnp.sum(sp.status == 0)),
+        "pipeline_search_fraction": round(t_search / t_pipeline, 3),
+    }
+
     # ---- algorithmic presets vs the reference config ----
     # TURBO: dual race at the same 100-eval budget; TURBO_POLISH: fast
     # 30+30 race + 20-iteration post-race restart (the round-3 tail

@@ -175,11 +175,31 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             ce, te, je = refine_cost(
                 dist, origin, res, pe[0], pe[1], pe[2], pe[3], cfg
             )
-            cb, tb, jb = refine_cost(
-                dist, origin, res, np.asarray(kb.pos), np.asarray(kb.vel),
-                np.asarray(kb.acc), np.asarray(kb.times), cfg,
-                retime=retime,
+            knots_b = (
+                np.asarray(kb.pos), np.asarray(kb.vel),
+                np.asarray(kb.acc), np.asarray(kb.times),
             )
+            if retime.startswith("race:"):
+                # seed-level duration race: refine each retime arm and
+                # keep the lowest cost per case (on TPU all arms ride
+                # one batched kernel; measured in scripts/
+                # ab_beam_retime.py)
+                cb = tb = jb = None
+                for arm in retime[5:].split(","):
+                    mode, _, sarg = arm.partition(":")
+                    kw = {"stretch": float(sarg)} if sarg else {}
+                    ca_, ta_, ja_ = refine_cost(
+                        dist, origin, res, *knots_b, cfg,
+                        retime=mode, **kw,
+                    )
+                    if cb is None or ca_ < cb:
+                        cb, tb, jb = ca_, ta_, ja_
+            else:
+                mode, _, sarg = retime.partition(":")
+                kw = {"stretch": float(sarg)} if sarg else {}
+                cb, tb, jb = refine_cost(
+                    dist, origin, res, *knots_b, cfg, retime=mode, **kw,
+                )
             ratios_cost.append(cb / max(ce, 1e-9))
             ratios_time.append(tb / max(te, 1e-9))
             ratios_jerk.append(jb / max(je, 1e-9))
@@ -217,10 +237,15 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    stats_k = run_suite(n)
+    retime = "race:search,stretch:1.2"
+    stats_k = run_suite(n, retime=retime, retries=1)
     print(stats_k)
-    stats_h = run_suite(n, exact="hybrid")
+    stats_h = run_suite(n, exact="hybrid", retime=retime, retries=1)
     print(stats_h)
+    stats_hf = run_suite(
+        n, exact="hybrid", retime=retime, retries=1, shot_mode=1
+    )
+    print(stats_hf)
     lines = [
         "# Beam-vs-exact front-end quality (SURVEY.md section 7 parity gate)",
         "",
@@ -235,6 +260,14 @@ def main():
         "objective from each seed (beam / exact) on cases where both",
         "front-ends succeed.",
         "",
+        "Round-4 front-end config (ab_beam_retime.py A/B, 50 cases):",
+        "adaptive beam retry (one 2x-widen round on failure,",
+        "kinodynamic.search_adaptive) + a seed-level DURATION RACE",
+        "(refine the search-duration and stretch:1.2 retimes, keep the",
+        "lower cost per case — duration is free at seeding,",
+        "PolyKinoGeneration takes Time as input, qp_generator.cpp:",
+        "23-154; on TPU both arms ride one batched kernel).",
+        "",
         "## vs kinodynamic A* (compare22 front-end)",
         "",
         "| metric | value |",
@@ -247,17 +280,24 @@ def main():
         "|---|---|",
     ] + [f"| {k} | {v} |" for k, v in stats_h.items()] + [
         "",
+        "## vs hybrid A* with the free-end-vel one-shot (shot_mode=1,",
+        "freeEndVelShot hybrid_astar.cpp:969-1021 — present in the",
+        "reference but unwired from searchPath)",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in stats_hf.items()] + [
+        "",
         "Interpretation: the hybrid front-end's long (max_tau = 1 s)",
         "primitives seed slower, longer-duration trajectories whose",
         "refined PENALTY cost is lower (duration relaxes the smoothness",
-        "term), while the beam's seeds refine to shorter (time ratio",
-        "~0.75) and smoother (jerk ratio ~0.58) trajectories at ~13%",
-        "higher penalty geomean.  On the metrics the reference's",
-        "compare2 logs actually record (solve_time, traj_time, jerk —",
-        "compare2.cpp:219-231, 296-321) the beam seed wins two of",
-        "three; the penalty-cost gap is the honest one to gate on and",
-        "is bounded in tests/test_search.py::test_beam_vs_hybrid_",
-        "exact_gate.",
+        "term).  The round-4 duration race closes the geomean gap",
+        "(~1.0 vs the round-3 1.13) while still flying ~11% faster and",
+        "~3x smoother than the hybrid's seeds; the residual p90 tail is",
+        "BASIN-limited (seeds land in different homotopy/duration",
+        "structures on a few maps), the same structural limit measured",
+        "for the solver tail in round 3.  Bounds live in",
+        "tests/test_search.py::test_beam_vs_hybrid_exact_gate.",
     ]
     with open("BEAM_VS_EXACT.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -12,9 +12,15 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_edt_update.py
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def bench_one(name, shape, res, box, margin_cells):

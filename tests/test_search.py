@@ -208,12 +208,18 @@ def test_beam_vs_exact_gate():
     sys.path.insert(0, "scripts")
     from beam_vs_exact import run_suite
 
-    stats = run_suite(16, seed=5, verbose=False)
+    stats = run_suite(
+        16, seed=5, verbose=False,
+        retime="race:search,stretch:1.2", retries=1,
+    )
     assert stats["exact_success"] >= stats["n_cases"] - 2
-    assert stats["beam_success"] >= stats["exact_success"] - 3
+    assert stats["beam_success"] >= stats["exact_success"] - 2
     if stats["both_success"] >= 8:
-        assert stats["cost_ratio_geomean"] < 1.3
-        assert stats["time_ratio_geomean"] < 1.3
+        # round-4 recorded 100-case suite: gm 0.853, p90 1.11,
+        # time gm 1.19 (the duration race trades a little flight time
+        # for cost) — conservative bounds on the 16-case subsample
+        assert stats["cost_ratio_geomean"] < 1.15
+        assert stats["time_ratio_geomean"] < 1.45
 
 
 def test_const_vel_prediction():
@@ -451,20 +457,23 @@ def test_beam_vs_hybrid_exact_gate():
     sys.path.insert(0, "scripts")
     from beam_vs_exact import run_suite
 
-    stats = run_suite(12, seed=9, verbose=False, exact="hybrid")
+    stats = run_suite(
+        12, seed=9, verbose=False, exact="hybrid",
+        retime="race:search,stretch:1.2", retries=1,
+    )
     assert stats["exact_arm"] == "hybrid"
     assert stats["exact_success"] >= stats["n_cases"] - 3
-    assert stats["beam_success"] >= stats["exact_success"] - 3
+    assert stats["beam_success"] >= stats["exact_success"] - 2
     if stats["both_success"] >= 6:
-        # recorded 100-case suite (BEAM_VS_EXACT.md): hybrid exact
-        # 100/100, beam 96/100; refined-cost geomean 1.13 (the hybrid's
-        # long max_tau=1 primitives trade duration for penalty), while
-        # the beam's seeds refine to SHORTER (time gm 0.75) and
-        # SMOOTHER (jerk gm 0.58) trajectories.  Conservative bounds
-        # on the 12-case subsample:
-        assert stats["cost_ratio_geomean"] < 1.6
-        assert stats["time_ratio_geomean"] < 1.2
-        assert stats["jerk_ratio_geomean"] < 1.0
+        # round-4 recorded 100-case suite (BEAM_VS_EXACT.md): hybrid
+        # exact 100/100, beam 97/100 (one adaptive-widen retry);
+        # seed-duration race closes the round-3 duration gap:
+        # refined-cost geomean 0.967 (was 1.13), flight time gm 0.890,
+        # jerk gm 0.313.  Conservative bounds on the 12-case
+        # subsample:
+        assert stats["cost_ratio_geomean"] < 1.25
+        assert stats["time_ratio_geomean"] < 1.1
+        assert stats["jerk_ratio_geomean"] < 0.7
 
 
 def test_box_lookup_bitwise_equals_gather():

@@ -318,6 +318,7 @@ def main():
                 "edt_builds_warm_s": round(t_edt_warm, 3),
                 "edt_builds_per_s": round(BATCH / t_edt_warm, 1),
                 "n_status_ok": n_ok,
+                **frontend_stats,
                 **preset_stats,
                 **opti,
                 "device": str(jax.devices()[0]),

@@ -305,26 +305,65 @@ def solve(
             scenario.grid_offset is None
             and not _is_traced(scenario)
             and cfg.auto_crop
+            and int(np.prod(scenario.dist.shape)) >= _AUTO_CROP_MIN_VOXELS
         ):
-            batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
-            # route through solve_batch: identical kernel dispatch
-            # (including auto-crop — which can UNLOCK the kernel for
-            # grids too large for VMEM uncropped) plus the dual-race
-            # post-polish handling in one place
-            batch = _maybe_autocrop(batch, cfg)
-            if sk.supports(
-                batch.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
+            # attempt the auto-crop only when the grid is big enough to
+            # pay (the decision itself costs host round-trips); small
+            # grids go straight to the single-dispatch jitted path —
+            # per-call device expansion ops before the dispatch cost
+            # several extra tunnel commands per solve (measured 9.4 ms
+            # vs 1.1 ms amortized B=1 latency)
+            if (
+                scenario.grid_offset is None
+                and not _is_traced(scenario)
+                and cfg.auto_crop
+                and int(np.prod(scenario.dist.shape))
+                >= _AUTO_CROP_MIN_VOXELS
             ):
-                sol = solve_batch(
-                    batch, cfg=cfg, steps=steps,
-                    record_trace=record_trace,
-                    bos_wp=None if bos_wp is None else bos_wp[None],
+                batch = Scenario(
+                    *jax.tree.map(lambda x: x[None], scenario)
                 )
-                return Solution(*jax.tree.map(lambda x: x[0], sol))
+                batch = _maybe_autocrop(batch, cfg)
+                if batch.grid_offset is not None and sk.supports(
+                    batch.dist.shape[1:], m * cfg.n_samples,
+                    3 * m - 3, cfg,
+                ):
+                    sol = _solve_batch_jit(
+                        batch, cfg=cfg, steps=steps,
+                        record_trace=record_trace,
+                        bos_wp=None if bos_wp is None else bos_wp[None],
+                    )
+                    return Solution(*jax.tree.map(lambda x: x[0], sol))
+            if sk.supports(
+                scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
+            ):
+                return _solve_one_kernel_jit(
+                    scenario, cfg=cfg, steps=steps,
+                    record_trace=record_trace, bos_wp=bos_wp,
+                )
     return _solve_jit(
         scenario, cfg=cfg, steps=steps, record_trace=record_trace,
         bos_wp=bos_wp,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "record_trace")
+)
+def _solve_one_kernel_jit(
+    scenario: Scenario,
+    cfg: OptimizerConfig,
+    steps: tuple[int, ...],
+    record_trace: bool,
+    bos_wp=None,
+) -> Solution:
+    """B=1 kernel-path solve as ONE jitted program (single dispatch)."""
+    batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
+    sol = _solve_batch_jit(
+        batch, cfg=cfg, steps=steps, record_trace=record_trace,
+        bos_wp=None if bos_wp is None else bos_wp[None],
+    )
+    return Solution(*jax.tree.map(lambda x: x[0], sol))
 
 
 @functools.partial(
@@ -413,6 +452,20 @@ def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
     nvox = int(np.prod(scenarios.dist.shape[1:]))
     if nvox < _AUTO_CROP_MIN_VOXELS:
         return scenarios
+    # the crop decision costs host round-trips (waypoints download) +
+    # a slice dispatch (~0.5 s through the remote tunnel) — cache it
+    # for REPEATED solves of the same arrays (replan ticks, serving,
+    # benchmarking all re-solve identical Scenario leaves).  Strong
+    # refs in the cache keep the ids valid.
+    key = (
+        id(scenarios.dist), id(scenarios.waypoints),
+        cfg.bos, cfg.crop_margin, cfg.n_samples,
+    )
+    hit = _AUTOCROP_CACHE.get(key)
+    if hit is not None and hit[0] is scenarios.dist and (
+        hit[1] is scenarios.waypoints
+    ):
+        return hit[2]
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
 
     m = scenarios.waypoints.shape[1] - 1
@@ -422,13 +475,20 @@ def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
         )
     except ValueError:  # mixed origins/resolutions or already cropped
         return scenarios
-    if cropped is scenarios:
-        return scenarios
-    if not sk.supports(
+    if cropped is scenarios or not sk.supports(
         cropped.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
     ):
-        return scenarios
+        cropped = scenarios
+    if len(_AUTOCROP_CACHE) > 8:
+        _AUTOCROP_CACHE.pop(next(iter(_AUTOCROP_CACHE)))
+    _AUTOCROP_CACHE[key] = (
+        scenarios.dist, scenarios.waypoints, cropped,
+    )
     return cropped
+
+
+#: (id(dist), id(waypoints), cfg key) -> (dist, waypoints, cropped)
+_AUTOCROP_CACHE: dict = {}
 
 
 def solve_batch(
@@ -609,11 +669,16 @@ def crop_scenarios(
     path only (solve/solve_batch raise otherwise): the offset frame is
     implemented in ops/solve_pallas._lookup.
     """
-    import numpy as np
-
-    wps = np.asarray(scenarios.waypoints, np.float64)  # (B, n_wp, 3)
-    origins = np.asarray(scenarios.origin, np.float64)  # (B, 3)
-    res_all = np.asarray(scenarios.resolution, np.float64)
+    # ONE device->host transfer for everything the window needs: each
+    # separate np.asarray of a device leaf pays a full tunnel RTT
+    # (~28 ms here), which made the per-call auto-crop path slower
+    # than the full-grid solve it was accelerating
+    wps, origins, res_all = jax.device_get(
+        (scenarios.waypoints, scenarios.origin, scenarios.resolution)
+    )
+    wps = np.asarray(wps, np.float64)  # (B, n_wp, 3)
+    origins = np.asarray(origins, np.float64)  # (B, 3)
+    res_all = np.asarray(res_all, np.float64)
     res = float(res_all.reshape(-1)[0])
     if not np.allclose(res_all, res):
         raise ValueError("crop_scenarios needs a uniform resolution batch")

@@ -238,12 +238,12 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     retime = "race:search,stretch:1.2"
-    stats_k = run_suite(n, retime=retime, retries=1)
+    stats_k = run_suite(n, retime=retime, retries=2)
     print(stats_k)
-    stats_h = run_suite(n, exact="hybrid", retime=retime, retries=1)
+    stats_h = run_suite(n, exact="hybrid", retime=retime, retries=2)
     print(stats_h)
     stats_hf = run_suite(
-        n, exact="hybrid", retime=retime, retries=1, shot_mode=1
+        n, exact="hybrid", retime=retime, retries=2, shot_mode=1
     )
     print(stats_hf)
     lines = [

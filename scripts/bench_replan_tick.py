@@ -20,8 +20,13 @@ Usage: python scripts/bench_replan_tick.py [n_runs]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 

@@ -15,8 +15,13 @@ Usage: python scripts/serve_bench.py [loads_req_per_s ...]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 

@@ -118,11 +118,12 @@ def _fly_tick(coeff, T, t_fly, dist_grid, origin, resolution):
     saves ~0.5 s/tick of eager dispatch on a remote-TPU link)."""
     p = poly.evaluate(coeff, T, t_fly, deriv=0)
     v = poly.evaluate(coeff, T, t_fly, deriv=1)
+    a = poly.evaluate(coeff, T, t_fly, deriv=2)
     samples, sample_ts = poly.sample_uniform(coeff, T, 100)
     dmin = jnp.min(
         sdf.distance_at(dist_grid, origin, resolution, samples)
     )
-    return p, v, samples, sample_ts, dmin
+    return p, v, a, samples, sample_ts, dmin
 
 
 @jax.jit
@@ -328,7 +329,7 @@ def replan_loop(
 
         # 4. fly replan_dt along the refined trajectory
         t_fly = min(rcfg.replan_dt, float(np.sum(np.asarray(T))))
-        p, v, samples, sample_ts, dmin_static = _fly_tick(
+        p, v, _a, samples, sample_ts, dmin_static = _fly_tick(
             coeff, T, jnp.asarray(t_fly, jnp.float32), dist_grid, origin,
             jnp.asarray(resolution, jnp.float32),
         )
@@ -440,8 +441,14 @@ def replan_loop_rrt(
     planner.grow(rcfg.init_iters)
 
     state = np.concatenate([start, np.zeros(3)])
+    state_acc = np.zeros(3)
     t_now = 0.0
     results: list[TickResult] = []
+    # per-tick auto-crop would re-decide the window every tick (the
+    # waypoints change, so the decision cache misses — ~0.5 s/tick of
+    # host round-trips through a remote tunnel); the B=1 tick solve
+    # rides the kernel either way
+    ocfg_tick = dataclasses.replace(ocfg, auto_crop=False)
 
     def _hover_tick():
         nonlocal t_now
@@ -486,6 +493,7 @@ def replan_loop_rrt(
         planner.grow(rcfg.grow_iters)
         if not np.isfinite(planner.best_cost):
             state[3:] = 0.0  # hover (reference NO_PATH semantics)
+            state_acc[:] = 0.0
             _hover_tick()
             continue
 
@@ -538,19 +546,40 @@ def replan_loop_rrt(
                     mid = wps[1] + dvec * (0.9 * r_end / max(dn, 1e-12))
                 wps = np.insert(wps, 1, mid, axis=0)
                 bos_wp = np.insert(bos_wp, 1, min(bos_wp[0], bos_wp[1]))
-        scn = solve_mod.Scenario(
-            dist=dist_grid, origin=origin,
-            resolution=jnp.asarray(resolution, jnp.float32),
-            waypoints=jnp.asarray(wps, jnp.float32),
+        # the refinement must CARRY the vehicle's velocity/acceleration
+        # into the first segment's fixed derivatives (the reference's
+        # startVel/startAcc contract, qp_generator.cpp:12-16, 425-431)
+        # — re-solving from rest every tick makes each flown
+        # replan_dt window cover only the quintic's initial crawl
+        # (measured 0.1 m/tick on the opti_node map) AND tears the
+        # flown velocity at tick boundaries.  The kino-seeded batch
+        # path takes full knot states, so the corridor waypoints ride
+        # it as knots: interior/goal knots at rest, the start knot at
+        # the flown state.
+        n_k = len(wps)
+        kvel = np.zeros((n_k, 3))
+        kacc = np.zeros((n_k, 3))
+        kvel[0] = state[3:]
+        kacc[0] = state_acc
+        T_alloc = qp.allocate_times(
+            jnp.asarray(wps, jnp.float32), ocfg.mean_v, ocfg.init_time
         )
-        sol = solve_mod.solve(
-            scn, cfg=ocfg, steps=steps, record_trace=False,
-            bos_wp=jnp.asarray(bos_wp, jnp.float32),
+        sol_b = solve_mod.solve_kino_batch(
+            dist_grid[None], origin[None], jnp.asarray(
+                [resolution], jnp.float32
+            ),
+            jnp.asarray(wps, jnp.float32)[None],
+            jnp.asarray(kvel, jnp.float32)[None],
+            jnp.asarray(kacc, jnp.float32)[None],
+            T_alloc[None],
+            cfg=ocfg_tick, steps=steps, record_trace=False,
+            bos_wp=jnp.asarray(bos_wp, jnp.float32)[None],
         )
+        sol = jax.tree.map(lambda x: x[0], sol_b)
 
         # 3. fly replan_dt along the refined trajectory
         t_fly = min(rcfg.replan_dt, float(jnp.sum(sol.T)))
-        p, v, _, _, dmin = _fly_tick(
+        p, v, a, _, _, dmin = _fly_tick(
             sol.coeff, sol.T, jnp.asarray(t_fly, jnp.float32), dist_grid,
             origin, jnp.asarray(resolution, jnp.float32),
         )
@@ -558,6 +587,7 @@ def replan_loop_rrt(
         state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
             np.float64
         )
+        state_acc = np.asarray(a, np.float64)
 
         # 4. commit the flown-past tree (resetRoot); failures (vehicle
         #    outside every path ball after a sharp refinement) just skip

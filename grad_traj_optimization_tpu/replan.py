@@ -381,6 +381,39 @@ class RRTReplanConfig:
     min_bos: float = 0.3
     seed: int = 0
     backend: str = "python"       # "python" | "native" tree engine
+    # Resample every tick's corridor to this fixed waypoint count so
+    # ONE compiled back-end program serves the whole flight (variable
+    # RDP counts compile per count — measured as multi-second p99 tick
+    # spikes on chip).  None keeps the variable-count RDP corridor.
+    n_waypoints: int | None = 6
+
+
+def _resample_corridor(path, radii, n: int, min_bos: float):
+    """Arc-length resample a safe-ball corridor to exactly n waypoints.
+
+    Resampled points lie ON the corridor polyline, i.e. on chords
+    between overlapping safe balls, so each is inside at least one of
+    its bracketing balls; its bound half-width is the larger in-ball
+    slack max_j (r_j - |p - c_j|) over the bracketing nodes, clamped
+    at ``min_bos`` (the same floor the RDP corridor uses).
+    """
+    path = np.asarray(path, np.float64)
+    radii = np.asarray(radii, np.float64)
+    if len(path) < 2:
+        path = np.concatenate([path, path[-1:] + 1e-6], axis=0)
+        radii = np.concatenate([radii, radii[-1:]])
+    seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    si = np.linspace(0.0, s[-1], n)
+    pts = np.stack(
+        [np.interp(si, s, path[:, k]) for k in range(3)], axis=-1
+    )
+    j = np.clip(np.searchsorted(s, si, side="right") - 1, 0,
+                len(path) - 2)
+    slack_a = radii[j] - np.linalg.norm(pts - path[j], axis=1)
+    slack_b = radii[j + 1] - np.linalg.norm(pts - path[j + 1], axis=1)
+    bos = np.maximum(np.maximum(slack_a, slack_b), min_bos)
+    return pts, bos
 
 
 def replan_loop_rrt(
@@ -509,11 +542,16 @@ def replan_loop_rrt(
         radii_c = np.concatenate([radii_f[:1], radii_f])
         from grad_traj_optimization_tpu.search import rdp as rdp_mod
 
-        wps, idx = rdp_mod.simplify(
-            path_c, rcfg.rdp_epsilon, return_index=True
-        )
-        bos_wp = np.maximum(radii_c[idx], rcfg.min_bos)
-        wps = np.asarray(wps, np.float64)
+        if rcfg.n_waypoints:
+            wps, bos_wp = _resample_corridor(
+                path_c, radii_c, rcfg.n_waypoints, rcfg.min_bos
+            )
+        else:
+            wps, idx = rdp_mod.simplify(
+                path_c, rcfg.rdp_epsilon, return_index=True
+            )
+            bos_wp = np.maximum(radii_c[idx], rcfg.min_bos)
+            wps = np.asarray(wps, np.float64)
         if len(wps) == 2:   # a straight shot has no free derivatives
             # insert a CERTIFIED interior point: the full corridor node
             # nearest the chord midpoint.  The chord midpoint itself may

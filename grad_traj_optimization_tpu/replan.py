@@ -321,8 +321,19 @@ def replan_loop(
             )
             continue
 
-        # 3. refine
-        pos, vel, acc, times = _resample_knots(*knots, rcfg.n_waypoints)
+        # 3. refine — resample to EXACTLY n_waypoints knots (the
+        # traced cubic-Hermite resampler reconstructs the branch
+        # geometry exactly); the host _resample_knots returns FEWER
+        # knots on short branches, and every distinct count compiled
+        # its own ~9 s refine program (multi-second p99 tick spikes)
+        p6, v6, a6, t6 = kinodynamic.resample_knots_batch(
+            np.asarray(knots[0], np.float32)[None],
+            np.asarray(knots[1], np.float32)[None],
+            np.asarray(knots[2], np.float32)[None],
+            np.asarray(knots[3], np.float32)[None],
+            rcfg.n_waypoints,
+        )
+        pos, vel, acc, times = p6[0], v6[0], a6[0], t6[0]
         coeff, T = _refine_kino(
             dist_grid, origin, resolution, pos, vel, acc, times, ocfg
         )

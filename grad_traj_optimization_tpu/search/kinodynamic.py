@@ -691,12 +691,16 @@ def _search_impl(
                 order1
                 + jnp.arange(beam, dtype=order1.dtype)[:, None] * (P * nd)
             )
-            if dedup == "exact":
+            if dedup.startswith("exact"):
                 # stage 2: with duplication <= beam, every voxel-winner
                 # that can reach the final beam lies in the top beam^2
                 # by f; one 4096-key lexsort there finishes the EXACT
-                # global best-per-voxel dedup
-                k_pre = min(N, beam * beam)
+                # global best-per-voxel dedup.  "exact<K>" (e.g.
+                # "exact1024") caps the pre-cut at K — cheaper top_k,
+                # guaranteed >= K/beam distinct voxels (heuristic
+                # below beam^2, exact above)
+                k_pre = min(N, int(dedup[5:]) if dedup[5:] else
+                            beam * beam)
                 negf, pre = jax.lax.top_k(-f_s1.reshape(N), k_pre)
                 fK = -negf
                 oidx = gidx1.reshape(N)[pre]
@@ -951,8 +955,24 @@ def resample_knots_batch(pos, vel, acc, times, n: int):
     def one(p, v, a, t):
         K = t.shape[0]
         ct = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)])
-        total = ct[-1]
-        targets = jnp.linspace(0.0, total, n)
+        # targets spaced uniformly in REAL-KNOT-INDEX space, not time:
+        # when the branch has >= n real knots this lands targets ON
+        # search knots (the knots the search placed to thread gaps —
+        # uniform-time placement measured a clearance regression on
+        # thin-gap maps at small refine budgets); when shorter, it
+        # subdivides segments evenly
+        r = jnp.sum(t > 1e-9)  # real segments
+        n_dup = (K - r).astype(ct.dtype)
+        fi = jnp.linspace(0.0, 1.0, n) * r.astype(ct.dtype)
+        # long branches: ROUND to whole knots (the host resampler's
+        # index-subsample semantics — keeping the exact states the
+        # search certified through gaps); short branches subdivide
+        # segments at fractional indices
+        fi = jnp.where(r >= n - 1, jnp.round(fi), fi) + n_dup
+        lo = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, K)
+        hi = jnp.clip(lo + 1, 0, K)
+        frac = (fi - lo.astype(ct.dtype)).astype(ct.dtype)
+        targets = ct[lo] * (1.0 - frac) + ct[hi] * frac
         # bracketing segment: the segment whose start knot is the LAST
         # knot with ct <= target (ties pick the highest knot, skipping
         # zero-length segments); clip keeps t = total in segment K-1

@@ -411,7 +411,7 @@ def search(
     lookup: str = "auto",
     shot_topk: int | None = None,
     box_cells: int = 0,
-    dedup: str = "exact",
+    dedup: str = "exact512",
 ) -> KinoResult:
     """Beam kinodynamic search (see :func:`_search_impl`).
 
@@ -480,7 +480,7 @@ def _search_impl(
     shot_topk: int = 0,
     box_cells: int = 0,
     ablate: str = "",
-    dedup: str = "exact",
+    dedup: str = "exact512",
 ) -> KinoResult:
     """Beam kinodynamic search from start_state to goal_state (both (6,)).
 

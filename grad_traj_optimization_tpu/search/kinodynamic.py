@@ -12,10 +12,11 @@ for a TPU, so the search is a **fixed-iteration batched beam search**:
   kinodynamic_astar.cpp:133-143, evaluated as one tensor op),
 * feasibility (map bounds, velocity limits, collision along the primitive,
   kinodynamic_astar.cpp:157-213) becomes masks,
-* selection dedups candidates by voxel (best-f per cell via lexsort,
-  then top-k over distinct voxels) — the batched analogue of the
-  reference's NodeHashTable pruning (kinodynamic_astar.cpp:168-175,
-  223-259), which keeps the beam spatially diverse,
+* selection dedups candidates by voxel (best-f per cell: within-parent
+  lexsorts, a top-k pre-cut, one small global lexsort) — the batched
+  analogue of the reference's NodeHashTable pruning
+  (kinodynamic_astar.cpp:168-175, 223-259), which keeps the beam
+  spatially diverse,
 * termination = any beam state whose one-shot cubic to the goal is
   collision-free (computeShotTraj, kinodynamic_astar.cpp:386-451).
 

@@ -299,48 +299,36 @@ def solve(
         from grad_traj_optimization_tpu.ops import solve_pallas as sk
 
         m = scenario.waypoints.shape[0] - 1
-        if sk.supports(
-            scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
-        ) or (
+        # attempt the auto-crop only when the grid is big enough to pay
+        # (the decision itself costs host round-trips — it can also
+        # UNLOCK the kernel for grids too large for VMEM uncropped)
+        if (
             scenario.grid_offset is None
             and not _is_traced(scenario)
             and cfg.auto_crop
             and int(np.prod(scenario.dist.shape)) >= _AUTO_CROP_MIN_VOXELS
         ):
-            # attempt the auto-crop only when the grid is big enough to
-            # pay (the decision itself costs host round-trips); small
-            # grids go straight to the single-dispatch jitted path —
-            # per-call device expansion ops before the dispatch cost
-            # several extra tunnel commands per solve (measured 9.4 ms
-            # vs 1.1 ms amortized B=1 latency)
-            if (
-                scenario.grid_offset is None
-                and not _is_traced(scenario)
-                and cfg.auto_crop
-                and int(np.prod(scenario.dist.shape))
-                >= _AUTO_CROP_MIN_VOXELS
+            batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
+            batch = _maybe_autocrop(batch, cfg)
+            if batch.grid_offset is not None and sk.supports(
+                batch.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
             ):
-                batch = Scenario(
-                    *jax.tree.map(lambda x: x[None], scenario)
+                sol = _solve_batch_jit(
+                    batch, cfg=cfg, steps=steps,
+                    record_trace=record_trace,
+                    bos_wp=None if bos_wp is None else bos_wp[None],
                 )
-                batch = _maybe_autocrop(batch, cfg)
-                if batch.grid_offset is not None and sk.supports(
-                    batch.dist.shape[1:], m * cfg.n_samples,
-                    3 * m - 3, cfg,
-                ):
-                    sol = _solve_batch_jit(
-                        batch, cfg=cfg, steps=steps,
-                        record_trace=record_trace,
-                        bos_wp=None if bos_wp is None else bos_wp[None],
-                    )
-                    return Solution(*jax.tree.map(lambda x: x[0], sol))
-            if sk.supports(
-                scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
-            ):
-                return _solve_one_kernel_jit(
-                    scenario, cfg=cfg, steps=steps,
-                    record_trace=record_trace, bos_wp=bos_wp,
-                )
+                return Solution(*jax.tree.map(lambda x: x[0], sol))
+        # uncropped kernel path: ONE jitted dispatch per solve (per-call
+        # device expansion ops before the dispatch cost several extra
+        # tunnel commands: measured 9.4 ms vs 1.15 ms amortized)
+        if sk.supports(
+            scenario.dist.shape, m * cfg.n_samples, 3 * m - 3, cfg
+        ):
+            return _solve_one_kernel_jit(
+                scenario, cfg=cfg, steps=steps,
+                record_trace=record_trace, bos_wp=bos_wp,
+            )
     return _solve_jit(
         scenario, cfg=cfg, steps=steps, record_trace=record_trace,
         bos_wp=bos_wp,

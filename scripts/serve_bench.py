@@ -35,7 +35,12 @@ def main():
     from grad_traj_optimization_tpu.config import OptimizerConfig
     from grad_traj_optimization_tpu.fields import sdf
 
-    loads = [float(a) for a in sys.argv[1:]] or [100.0, 500.0, 1000.0, 1400.0, 2000.0]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    max_batch = 256
+    for a in sys.argv[1:]:
+        if a.startswith("--max_batch="):
+            max_batch = int(a.split("=", 1)[1])
+    loads = [float(a) for a in args] or [100.0, 500.0, 1000.0, 1400.0, 2000.0]
 
     # one shared bench-shaped map + many waypoint variants
     map_cfg, pts, valid, wps = fixtures.random_scenarios(
@@ -65,7 +70,7 @@ def main():
         )
 
     cfg = OptimizerConfig()
-    server = serving.SolveServer(cfg=cfg, max_batch=256, max_wait_ms=5.0)
+    server = serving.SolveServer(cfg=cfg, max_batch=max_batch, max_wait_ms=5.0)
 
     # pre-warm every pow2 bucket so the load sweep measures steady state,
     # not XLA compiles

@@ -956,24 +956,23 @@ def resample_knots_batch(pos, vel, acc, times, n: int):
     def one(p, v, a, t):
         K = t.shape[0]
         ct = jnp.concatenate([jnp.zeros(1, t.dtype), jnp.cumsum(t)])
-        # targets spaced uniformly in REAL-KNOT-INDEX space, not time:
-        # when the branch has >= n real knots this lands targets ON
-        # search knots (the knots the search placed to thread gaps —
-        # uniform-time placement measured a clearance regression on
-        # thin-gap maps at small refine budgets); when shorter, it
-        # subdivides segments evenly
+        # target times: long branches (>= n real knots) SNAP to whole
+        # search knots (the host resampler's index-subsample semantics
+        # — keeping the exact states the search certified through
+        # gaps; uniform-time placement measured a clearance regression
+        # on thin-gap maps at small refine budgets); short branches
+        # use uniform TIME (index-space subdivision crammed knots into
+        # the short segments of uneven branches, leaving ~0.1 s
+        # segments whose T^5 quintic forms break f32)
         r = jnp.sum(t > 1e-9)  # real segments
-        n_dup = (K - r).astype(ct.dtype)
-        fi = jnp.linspace(0.0, 1.0, n) * r.astype(ct.dtype)
-        # long branches: ROUND to whole knots (the host resampler's
-        # index-subsample semantics — keeping the exact states the
-        # search certified through gaps); short branches subdivide
-        # segments at fractional indices
-        fi = jnp.where(r >= n - 1, jnp.round(fi), fi) + n_dup
-        lo = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, K)
-        hi = jnp.clip(lo + 1, 0, K)
-        frac = (fi - lo.astype(ct.dtype)).astype(ct.dtype)
-        targets = ct[lo] * (1.0 - frac) + ct[hi] * frac
+        n_dup = (K - r).astype(jnp.int32)
+        fi = jnp.round(
+            jnp.linspace(0.0, 1.0, n) * r.astype(ct.dtype)
+        ).astype(jnp.int32)
+        t_knots = ct[jnp.clip(n_dup + fi, 0, K)]
+        total = ct[-1]
+        t_unif = jnp.linspace(0.0, total, n)
+        targets = jnp.where(r >= n - 1, t_knots, t_unif)
         # bracketing segment: the segment whose start knot is the LAST
         # knot with ct <= target (ties pick the highest knot, skipping
         # zero-length segments); clip keeps t = total in segment K-1

@@ -893,3 +893,74 @@ def test_solve_server_microbatching():
             np.asarray(sol.coeff), np.asarray(ref.coeff[0]),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_solve_kino_batch_kernel_matches_fallback():
+    """The kino-seeded batch (setKinoPath path) must produce the same
+    iterates through the whole-descent kernel (T/Df/dp0 overrides,
+    interpret mode) as through the vmapped JAX fallback."""
+    import numpy as np
+
+    from grad_traj_optimization_tpu import fixtures
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+
+    rng = np.random.default_rng(4)
+    cases, seeds = [], []
+    # keep only cases whose search REACHES (unreached lanes carry
+    # degenerate branch states whose refinement is numerically chaotic
+    # on both paths — not a meaningful comparison)
+    while len(cases) < 2:
+        c = fixtures.random_search_case(rng)
+        if c is None:
+            continue
+        s6 = np.concatenate([c[3], np.zeros(3)]).astype(np.float32)
+        g6 = np.concatenate([c[4], np.zeros(3)]).astype(np.float32)
+        r1 = kd.search(c[0], jnp.asarray(c[1], jnp.float32), c[2],
+                       s6, g6, lookup="gather")
+        if bool(r1.reached):
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    rb = kd.search_batch(dists, origins, res, starts, goals,
+                         lookup="gather")
+    p6, v6, a6, t6 = kd.resample_knots_batch(
+        rb.pos, rb.vel, rb.acc, rb.times, 6
+    )
+    cfg = OptimizerConfig(iters_step2=4)
+    ress = np.full((2,), res, np.float32)
+    sol_fb = solve_mod.solve_kino_batch(
+        dists, origins, ress, p6, v6, a6, t6, cfg=cfg, steps=(2,)
+    )
+    T = jnp.asarray(t6, jnp.float32)
+    Df, dp0 = jax.vmap(solve_mod.qp.kino_d)(
+        jnp.asarray(p6, jnp.float32), jnp.asarray(v6, jnp.float32),
+        jnp.asarray(a6, jnp.float32),
+    )
+    scn = solve_mod.Scenario(
+        dist=jnp.asarray(dists), origin=jnp.asarray(origins),
+        resolution=jnp.asarray(ress),
+        waypoints=jnp.asarray(p6, jnp.float32),
+    )
+    sol_k = solve_mod.solve_batch_kernel(
+        scn, cfg=cfg, steps=(2,), interpret=True, dp0=dp0, T=T, Df=Df
+    )
+    # same discipline as test_solve_batch_kernel_matches_reference_path:
+    # the kernel's bf16 hi/mid grid planes are ~1e-4 m faithful, so
+    # compare costs and sampled trajectories at the parity budget
+    np.testing.assert_allclose(
+        np.asarray(sol_fb.cost), np.asarray(sol_k.cost), rtol=5e-3
+    )
+    for b in range(2):
+        p1, _ = poly.sample_uniform(sol_fb.coeff[b], sol_fb.T[b], 100)
+        p2, _ = poly.sample_uniform(sol_k.coeff[b], sol_k.T[b], 100)
+        assert float(jnp.max(jnp.abs(p1 - p2))) < 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(sol_fb.T), np.asarray(sol_k.T)
+    )

@@ -309,7 +309,10 @@ def solve(
             and int(np.prod(scenario.dist.shape)) >= _AUTO_CROP_MIN_VOXELS
         ):
             batch = Scenario(*jax.tree.map(lambda x: x[None], scenario))
-            batch = _maybe_autocrop(batch, cfg)
+            batch = _maybe_autocrop(
+                batch, cfg, bos_wp=bos_wp,
+                key_leaves=(scenario.dist, scenario.waypoints),
+            )
             if batch.grid_offset is not None and sk.supports(
                 batch.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
             ):
@@ -417,7 +420,12 @@ def _is_traced(scenarios) -> bool:
 _AUTO_CROP_MIN_VOXELS = 1 << 19
 
 
-def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
+def _maybe_autocrop(
+    scenarios: Scenario,
+    cfg: OptimizerConfig,
+    bos_wp=None,
+    key_leaves=None,
+) -> Scenario:
     """Apply exact cropping when the kernel path will take it (VERDICT
     r3 item 6: the reference's own map shape should hit the cropped
     rate by default, opti_node.cpp:61).
@@ -428,6 +436,17 @@ def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
     (shared origin, uniform resolution), and a cropped shape the
     whole-descent kernel supports.  Anything else returns the batch
     unchanged — callers keep the exact pre-round-4 behavior.
+
+    ``bos_wp``: per-waypoint position-bound half-widths when the caller
+    passes them to solve/solve_batch (the RRT-corridor path).  The crop
+    window must cover the LARGEST bound or in-bounds iterates could
+    cross the crop face and read the -1 deep-collision sentinel; the
+    margin is widened by ``max(bos_wp) - cfg.bos`` when positive.
+
+    ``key_leaves``: optional (dist, waypoints) pair to key the decision
+    cache on — solve() passes its UNBATCHED leaves so repeated B=1
+    solves hit the cache even though the [None]-expanded batch leaves
+    are rebuilt per call.
     """
     if (
         not cfg.auto_crop
@@ -440,38 +459,50 @@ def _maybe_autocrop(scenarios: Scenario, cfg: OptimizerConfig) -> Scenario:
     nvox = int(np.prod(scenarios.dist.shape[1:]))
     if nvox < _AUTO_CROP_MIN_VOXELS:
         return scenarios
+    margin = cfg.crop_margin
+    if bos_wp is not None:
+        if _is_traced((bos_wp,)):
+            return scenarios  # cannot widen for an unknown bound
+        margin += max(0.0, float(np.max(np.asarray(bos_wp))) - cfg.bos)
     # the crop decision costs host round-trips (waypoints download) +
     # a slice dispatch (~0.5 s through the remote tunnel) — cache it
     # for REPEATED solves of the same arrays (replan ticks, serving,
     # benchmarking all re-solve identical Scenario leaves).  Strong
-    # refs in the cache keep the ids valid.
-    key = (
-        id(scenarios.dist), id(scenarios.waypoints),
-        cfg.bos, cfg.crop_margin, cfg.n_samples,
+    # refs in the cache keep the ids valid.  Only immutable device
+    # arrays are cached: id-keying a mutable host numpy array would
+    # return a stale crop after an in-place edit + re-solve.
+    if key_leaves is None:
+        key_leaves = (scenarios.dist, scenarios.waypoints)
+    cacheable = all(
+        isinstance(x, jax.Array) for x in key_leaves
     )
-    hit = _AUTOCROP_CACHE.get(key)
-    if hit is not None and hit[0] is scenarios.dist and (
-        hit[1] is scenarios.waypoints
-    ):
-        return hit[2]
+    key = (
+        id(key_leaves[0]), id(key_leaves[1]),
+        cfg.bos, margin, cfg.n_samples,
+    )
+    if cacheable:
+        hit = _AUTOCROP_CACHE.get(key)
+        if hit is not None and hit[0] is key_leaves[0] and (
+            hit[1] is key_leaves[1]
+        ):
+            return hit[2]
     from grad_traj_optimization_tpu.ops import solve_pallas as sk
 
     m = scenarios.waypoints.shape[1] - 1
     try:
-        cropped = crop_scenarios(
-            scenarios, cfg, margin=cfg.crop_margin
-        )
+        cropped = crop_scenarios(scenarios, cfg, margin=margin)
     except ValueError:  # mixed origins/resolutions or already cropped
         return scenarios
     if cropped is scenarios or not sk.supports(
         cropped.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
     ):
         cropped = scenarios
-    if len(_AUTOCROP_CACHE) > 8:
-        _AUTOCROP_CACHE.pop(next(iter(_AUTOCROP_CACHE)))
-    _AUTOCROP_CACHE[key] = (
-        scenarios.dist, scenarios.waypoints, cropped,
-    )
+    if cacheable:
+        if len(_AUTOCROP_CACHE) > 8:
+            _AUTOCROP_CACHE.pop(next(iter(_AUTOCROP_CACHE)))
+        _AUTOCROP_CACHE[key] = (
+            key_leaves[0], key_leaves[1], cropped,
+        )
     return cropped
 
 
@@ -503,7 +534,7 @@ def solve_batch(
     before dispatch (see :func:`crop_scenarios`) — the default fast
     path for large maps.
     """
-    scenarios = _maybe_autocrop(scenarios, cfg)
+    scenarios = _maybe_autocrop(scenarios, cfg, bos_wp=bos_wp)
     return _solve_batch_jit(
         scenarios, cfg=cfg, steps=steps, record_trace=record_trace,
         bos_wp=bos_wp, dp0=dp0,

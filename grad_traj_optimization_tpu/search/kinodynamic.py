@@ -60,11 +60,67 @@ def state_transit(state, u, tau):
     return jnp.concatenate([p1, v1], axis=-1)
 
 
-def cubic_roots(a, b, c, d):
+#: f32 cbrt exponent bit-trick seed (fit: /tmp-derived, max rel err
+#: 3.2e-2 pre-refinement, 2.4e-7 after two Halley steps — the f32
+#: rounding floor)
+_CBRT_MAGIC = np.int32(709953000)
+
+#: degree-12 monomial coefficients (ascending, in t = 2 s - 1 with
+#: s = sqrt((1 + x) / 2)) of cos(arccos(x) / 3) on [-1, 1].  The
+#: substitution makes the target analytic on the fit interval (the
+#: raw function has a sqrt branch point at x = -1), so a modest-degree
+#: Chebyshev fit reaches 1.6e-12 (f64) / 6.6e-8 (f32 Horner).
+_COSACOS3_COEF = (
+    7.66044443e-01, 2.47409066e-01, -1.55091884e-02, 2.46635329e-03,
+    -5.04125005e-04, 1.16421674e-04, -2.89180781e-05, 7.55379954e-06,
+    -2.04107582e-06, 5.43584535e-07, -1.52150101e-07, 6.13416383e-08,
+    -1.83928907e-08,
+)
+
+
+def _fast_cbrt(v):
+    """Branchless f32 cbrt without exp/log transcendentals: exponent
+    bit-trick seed + two division-based Halley steps (cubic
+    convergence), max rel err 2.4e-7 over |v| in [1e-20, 1e20].
+
+    ``jnp.cbrt`` lowers through pow -> exp/log chains on the TPU VPU;
+    this replaces them with integer ops + two divides.  Zero maps to
+    zero; NaN propagates.
+    """
+    a = jnp.abs(v).astype(jnp.float32)
+    i = jax.lax.bitcast_convert_type(a, jnp.int32)
+    y = jax.lax.bitcast_convert_type(i // 3 + _CBRT_MAGIC, jnp.float32)
+    for _ in range(2):
+        y3 = y * y * y
+        y = y * (y3 + 2.0 * a) / (2.0 * y3 + a)
+    out = jnp.where(a > 1e-35, y, 0.0)
+    return jnp.sign(v) * out  # sign(NaN) = NaN keeps NaN in -> NaN out
+
+
+def _cos_acos3(x):
+    """cos(arccos(x)/3) on [-1, 1] without arccos/cos: a degree-12
+    polynomial in t = 2 sqrt((1+x)/2) - 1 (see _COSACOS3_COEF)."""
+    s = jnp.sqrt(jnp.maximum(0.5 * (1.0 + x), 0.0))
+    t = 2.0 * s - 1.0
+    acc = jnp.full_like(t, _COSACOS3_COEF[-1])
+    for c in _COSACOS3_COEF[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
+def cubic_roots(a, b, c, d, fast: bool = False):
     """Real roots of a x^3 + b x^2 + c x + d (up to 3, NaN-padded).
 
     Exact port of the trigonometric/Cardano formulas in
     kinodynamic_astar.cpp:453-486, branchless over the discriminant.
+
+    ``fast=True`` replaces the transcendental chains (2x cbrt, arccos,
+    3x cos) with the bit-trick cbrt and the cos(arccos/3) polynomial +
+    the triple-angle quadratic factorization: the three D < 0 roots
+    are the roots of 4 y^3 - 3 y = x, so given y0 = cos(arccos(x)/3)
+    the other two are (-y0 -+ sqrt(3 (1 - y0^2))) / 2.  Root values
+    move by ~1e-5 absolute near |x| = 1 (same order as the f32 input
+    quantization of arccos there); consumers gate behaviorally.
     """
     a2 = b / a
     a1 = c / a
@@ -74,18 +130,25 @@ def cubic_roots(a, b, c, d):
     D = Q**3 + R * R
 
     sqrtD = jnp.sqrt(jnp.maximum(D, 0.0))
-    S = jnp.cbrt(R + sqrtD)
-    Tt = jnp.cbrt(R - sqrtD)
+    cbrt = _fast_cbrt if fast else jnp.cbrt
+    S = cbrt(R + sqrtD)
+    Tt = cbrt(R - sqrtD)
     r_pos = -a2 / 3 + (S + Tt)  # D > 0: single real root
 
     # D < 0: three real roots
-    theta = jnp.arccos(
-        jnp.clip(R / jnp.sqrt(jnp.maximum(-(Q**3), 1e-300)), -1.0, 1.0)
-    )
+    xx = jnp.clip(R / jnp.sqrt(jnp.maximum(-(Q**3), 1e-300)), -1.0, 1.0)
     sq = 2 * jnp.sqrt(jnp.maximum(-Q, 0.0))
-    r0 = sq * jnp.cos(theta / 3) - a2 / 3
-    r1 = sq * jnp.cos((theta + 2 * jnp.pi) / 3) - a2 / 3
-    r2 = sq * jnp.cos((theta + 4 * jnp.pi) / 3) - a2 / 3
+    if fast:
+        y0 = _cos_acos3(xx)
+        sq3 = jnp.sqrt(jnp.maximum(3.0 * (1.0 - y0 * y0), 0.0))
+        r0 = sq * y0 - a2 / 3
+        r1 = sq * (-y0 - sq3) * 0.5 - a2 / 3
+        r2 = sq * (-y0 + sq3) * 0.5 - a2 / 3
+    else:
+        theta = jnp.arccos(xx)
+        r0 = sq * jnp.cos(theta / 3) - a2 / 3
+        r1 = sq * jnp.cos((theta + 2 * jnp.pi) / 3) - a2 / 3
+        r2 = sq * jnp.cos((theta + 4 * jnp.pi) / 3) - a2 / 3
 
     neg = D < 0
     root_a = jnp.where(neg, r0, r_pos)
@@ -94,11 +157,12 @@ def cubic_roots(a, b, c, d):
     return jnp.stack([root_a, root_b, root_c], axis=-1)
 
 
-def quartic_roots(a, b, c, d, e):
+def quartic_roots(a, b, c, d, e, fast: bool = False):
     """Real roots of a x^4 + ... + e (up to 4, NaN-padded).
 
     Exact port of the Ferrari resolvent in kinodynamic_astar.cpp:488-528
-    (including using the *first* cubic root as y1).
+    (including using the *first* cubic root as y1).  ``fast`` selects
+    the transcendental-free cubic resolvent (see :func:`cubic_roots`).
     """
     a3 = b / a
     a2 = c / a
@@ -108,6 +172,7 @@ def quartic_roots(a, b, c, d, e):
     ys = cubic_roots(
         jnp.ones_like(a3), -a2, a1 * a3 - 4 * a0,
         4 * a2 * a0 - a1 * a1 - a3 * a3 * a0,
+        fast=fast,
     )
     y1 = ys[..., 0]
     r = a3 * a3 / 4 - a2 + y1
@@ -144,12 +209,17 @@ def quartic_roots(a, b, c, d, e):
 
 
 def estimate_heuristic(x1, x2, w_time: float, max_vel: float,
-                       tie_breaker: float = 1.0 / 10000.0):
+                       tie_breaker: float = 1.0 / 10000.0,
+                       fast: bool = False):
     """Pontryagin-based admissible heuristic + optimal connection time.
 
     Exact port of kinodynamic_astar.cpp:348-384: minimize
     c(t) = -c1/(3t^3) - c2/(2t^2) - c3/t + w_time * t over the real roots
     of its derivative quartic and the velocity lower bound t_bar.
+
+    ``fast`` uses the transcendental-free quartic solver (root values
+    move ~1e-6 relative; the beam search gates this behaviorally —
+    see :func:`search`'s ``heu``).
 
     x1, x2: (..., 6).  Returns (cost, t_opt) with shapes (...,).
     """
@@ -167,7 +237,7 @@ def estimate_heuristic(x1, x2, w_time: float, max_vel: float,
     c4 = jnp.zeros_like(c1)
     c5 = jnp.full_like(c1, w_time)
 
-    ts = quartic_roots(c5, c4, c3, c2, c1)  # (..., 4)
+    ts = quartic_roots(c5, c4, c3, c2, c1, fast=fast)  # (..., 4)
     t_bar = jnp.max(jnp.abs(dp), axis=-1) / max_vel
     cand = jnp.concatenate([ts, t_bar[..., None]], axis=-1)  # (..., 5)
 
@@ -181,12 +251,15 @@ def estimate_heuristic(x1, x2, w_time: float, max_vel: float,
         + w_time * t
     )
     cost = jnp.where(jnp.isfinite(t), cost, jnp.inf)
+    # best = cost at argmin == the min itself (bitwise: ties and the
+    # all-inf / NaN cases agree) — jnp.min avoids lowering an argmin +
+    # element gather for the hot (beam * P * n_dur) call sites
+    best = jnp.min(cost, axis=-1)
     k = jnp.argmin(cost, axis=-1)
-    best = jnp.take_along_axis(cost, k[..., None], axis=-1)[..., 0]
     t_opt = jnp.take_along_axis(
         jnp.where(jnp.isfinite(t), t, t_bar[..., None]), k[..., None],
         axis=-1,
-    )[..., 0]
+    )[..., 0]  # dead-code-eliminated by XLA when the caller drops t_opt
     return (1.0 + tie_breaker) * best, t_opt
 
 
@@ -413,6 +486,7 @@ def search(
     shot_topk: int | None = None,
     box_cells: int = 0,
     dedup: str = "exact512",
+    heu: str = "exact",
 ) -> KinoResult:
     """Beam kinodynamic search (see :func:`_search_impl`).
 
@@ -445,6 +519,7 @@ def search(
         max_iters=max_iters, beam=beam, n_acc=n_acc, n_dur=n_dur,
         check_num=check_num, max_knots=max_knots, lookup=lookup,
         shot_topk=shot_topk, box_cells=box_cells, dedup=dedup,
+        heu=heu,
     )
 
 
@@ -454,7 +529,7 @@ def search(
         "max_acc", "max_vel", "max_tau", "w_time", "lambda_heu",
         "margin", "max_iters", "beam", "n_acc", "n_dur", "check_num",
         "max_knots", "lookup", "shot_topk", "box_cells", "ablate",
-        "dedup",
+        "dedup", "heu",
     ),
 )
 def _search_impl(
@@ -482,6 +557,7 @@ def _search_impl(
     box_cells: int = 0,
     ablate: str = "",
     dedup: str = "exact512",
+    heu: str = "exact",
 ) -> KinoResult:
     """Beam kinodynamic search from start_state to goal_state (both (6,)).
 
@@ -645,7 +721,16 @@ def _search_impl(
         if "noheu" in ablate:  # profiling only
             h = jnp.zeros_like(gc)
         else:
-            h, _ = estimate_heuristic(cand, goal_state, w_time, max_vel)
+            # the hot call (beam * P * n_dur states per iteration):
+            # heu="fast" swaps the quartic's transcendental chains for
+            # the polynomial/bit-trick solvers (~1e-6 relative root
+            # movement, gated behaviorally on the 100-case oracle
+            # suite).  shot_total's per-beam call stays exact — it is
+            # 250x smaller and its t feeds the OUTPUT segment times.
+            h, _ = estimate_heuristic(
+                cand, goal_state, w_time, max_vel,
+                fast=(heu == "fast"),
+            )
         f = gc + lambda_heu * jnp.where(jnp.isfinite(h), h, 0.0)
         f = jnp.where(ok, f, big)
 
@@ -673,11 +758,31 @@ def _search_impl(
         else:
             keys = vox_key(cand[..., :3]).reshape(beam, P * nd)
             f_pp = f.reshape(beam, P * nd)
-            # stage 1: per-parent best-per-voxel via SMALL batched
-            # lexsorts (250 elements each) — caps per-voxel
-            # duplication at `beam` (one survivor per parent)
-            order1 = jnp.lexsort((f_pp, keys), axis=-1)
-            ks1 = jnp.take_along_axis(keys, order1, axis=-1)
+            if dedup.startswith("lex"):
+                # pre-round-5 stage-1 formulation, kept for the chip
+                # A/B record: jnp.lexsort returns a PERMUTATION, so
+                # every consumer pays a take_along_axis GATHER over the
+                # (beam, P*nd) rows — 2 x 16k gathered elements per
+                # iteration, chip-attributed as ~85% of the round-4
+                # dedup cost (~7 ms of 15.5 ms per search at B=1024).
+                order1 = jnp.lexsort((f_pp, keys), axis=-1)
+                ks1 = jnp.take_along_axis(keys, order1, axis=-1)
+                f1s = jnp.take_along_axis(f_pp, order1, axis=-1)
+                src1 = order1
+            else:
+                # stage 1 (round 5): ONE variadic lax.sort carries the
+                # f values and source positions THROUGH the sorting
+                # network as payload operands — same (voxel, f) stable
+                # order as the lexsort, zero post-sort gathers.
+                iota1 = jnp.broadcast_to(
+                    jnp.arange(P * nd, dtype=jnp.int32), (beam, P * nd)
+                )
+                ks1, f1s, src1 = jax.lax.sort(
+                    (keys, f_pp, iota1), dimension=-1, num_keys=2,
+                    is_stable=True,
+                )
+            # per-parent best-per-voxel: caps per-voxel duplication at
+            # `beam` (one survivor per parent per voxel)
             first1 = jnp.concatenate(
                 [
                     jnp.ones((beam, 1), bool),
@@ -685,27 +790,104 @@ def _search_impl(
                 ],
                 axis=1,
             )
-            f_s1 = jnp.where(
-                first1, jnp.take_along_axis(f_pp, order1, axis=-1), big
-            )
+            f_s1 = jnp.where(first1, f1s, big)
             gidx1 = (
-                order1
-                + jnp.arange(beam, dtype=order1.dtype)[:, None] * (P * nd)
+                src1
+                + jnp.arange(beam, dtype=src1.dtype)[:, None] * (P * nd)
             )
             if dedup.startswith("exact"):
-                # stage 2: with duplication <= beam, every voxel-winner
-                # that can reach the final beam lies in the top beam^2
-                # by f; one 4096-key lexsort there finishes the EXACT
-                # global best-per-voxel dedup.  "exact<K>" (e.g.
-                # "exact1024") caps the pre-cut at K — cheaper top_k,
-                # guaranteed >= K/beam distinct voxels (heuristic
-                # below beam^2, exact above)
+                # stage 2 (round-5 sort-payload form): with duplication
+                # <= beam, every voxel-winner that can reach the final
+                # beam lies in the top beam^2 by f ("exact<K>" caps the
+                # pre-cut at K: heuristic below beam^2, exact above).
+                # All three selections are variadic stable sorts +
+                # STATIC slices — top_k on TPU lowers as a full sort
+                # anyway, so sorting WITH payloads costs the same and
+                # deletes every post-selection gather.  Order matches
+                # the lex formulation bitwise: top_k ties break by
+                # ascending index == stable ascending sort by f.
                 k_pre = min(N, int(dedup[5:]) if dedup[5:] else
+                            beam * beam)
+                fK, hK, oidx = jax.lax.sort(
+                    (f_s1.reshape(N), ks1.reshape(N), gidx1.reshape(N)),
+                    num_keys=1, is_stable=True,
+                )
+                fK, hK, oidx = fK[:k_pre], hK[:k_pre], oidx[:k_pre]
+                hs2, fs2, o2 = jax.lax.sort(
+                    (hK, fK, oidx), num_keys=2, is_stable=True
+                )
+                first2 = jnp.concatenate(
+                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
+                )
+                f_dd = jnp.where(first2, fs2, big)
+                _, idx_s = jax.lax.sort(
+                    (f_dd, o2), num_keys=1, is_stable=True
+                )
+                idx = idx_s[:beam]
+            elif dedup.startswith("lex"):
+                # pre-round-5 stage 2: top_k + index gathers
+                k_pre = min(N, int(dedup[3:]) if dedup[3:] else
                             beam * beam)
                 negf, pre = jax.lax.top_k(-f_s1.reshape(N), k_pre)
                 fK = -negf
                 oidx = gidx1.reshape(N)[pre]
                 hK = vox_key(cand.reshape(N, 6)[oidx, :3])
+                order2 = jnp.lexsort((fK, hK))
+                hs2 = hK[order2]
+                first2 = jnp.concatenate(
+                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
+                )
+                f_dd = jnp.where(first2, fK[order2], big)
+                _, sel2 = jax.lax.top_k(-f_dd, beam)
+                idx = oidx[order2[sel2]]
+            elif dedup.startswith("approx"):
+                # "approx<K>" (round 5): exact512's global pre-cut,
+                # but via lax.approx_max_k — the TPU PartialReduce
+                # top-k (block-wise partial reduction, no full-sort
+                # lowering; jax.lax.approx_max_k docs / TPU custom
+                # call).  The K-cut is already heuristic below beam^2
+                # (exact512's own compromise), so a recall-0.95
+                # selection only perturbs marginal candidates; gated
+                # behaviorally like every dedup arm.  Everything after
+                # the cut (512-lexsort dedup + exact top-k) unchanged.
+                k_pre = min(N, int(dedup[6:]) if dedup[6:] else 512)
+                negf, pre = jax.lax.approx_max_k(
+                    -f_s1.reshape(N), k_pre
+                )
+                fK = -negf
+                oidx = gidx1.reshape(N)[pre]
+                hK = vox_key(cand.reshape(N, 6)[oidx, :3])
+                order2 = jnp.lexsort((fK, hK))
+                hs2 = hK[order2]
+                first2 = jnp.concatenate(
+                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
+                )
+                f_dd = jnp.where(first2, fK[order2], big)
+                _, sel2 = jax.lax.top_k(-f_dd, beam)
+                idx = oidx[order2[sel2]]
+            elif dedup.startswith("pp"):
+                # "pp<K>" (round 5): PER-PARENT top-K pre-cut.  The
+                # global top_k(N) above lowers as a FULL 16k sort on
+                # TPU (~45% of the round-4 beam's runtime); a per-ROW
+                # top-k over the (beam, P*nd) stage-1 survivors is a
+                # small batched last-axis sort instead.  Guarantee:
+                # every parent's K best distinct voxels reach the
+                # global stage (a final-beam winner provably lies in
+                # its parent's top-`beam`, so "pp64" is EXACT; smaller
+                # K STARVES the beam while few parents are feasible —
+                # iteration 0 has ONE finite-g parent, so pp8 fills
+                # only 8 distinct slots vs exact512's 64 (measured
+                # 4.8x worse seed g on a fixture case).  Opt-in for
+                # k >= beam only; prefer "approx<K>" for throughput.
+                # The key/index lookups ride take_along_axis over the
+                # already-sorted per-parent rows — no big gathers.
+                k_pp = min(P * nd, int(dedup[2:]) if dedup[2:] else 8)
+                negv, ppos = jax.lax.top_k(-f_s1, k_pp)  # rows
+                fK = (-negv).reshape(-1)
+                hK = jnp.take_along_axis(ks1, ppos, axis=-1).reshape(-1)
+                oidx = jnp.take_along_axis(
+                    gidx1, ppos, axis=-1
+                ).reshape(-1)
                 order2 = jnp.lexsort((fK, hK))
                 hs2 = hK[order2]
                 first2 = jnp.concatenate(
@@ -866,6 +1048,8 @@ def search_batch(
     resolution: float,
     starts,
     goals,
+    obstacle_pred=None,
+    start_times=None,
     lookup: str = "auto",
     shot_topk: int | None = None,
     box_cells: int = 0,
@@ -879,6 +1063,17 @@ def search_batch(
     program).  Shares :func:`search`'s config via ``kw``; uses the
     box lookup by default on TPU (per-element gathers made the
     vmapped beam ~22 searches/s at B=1024 — the box path is the fix).
+
+    ``obstacle_pred`` (round 5): a predictor.ObjPrediction enables the
+    reference's DYNAMIC mode at batch scale — every primitive sweep
+    sample is additionally tested against the predicted moving boxes
+    at its absolute node time (compare22's evaluateCoarseEDT oracle,
+    kinodynamic_astar.cpp:199-213 / edt_environment.cpp:62-73; the
+    box-distance math is dense clamp/norm arithmetic, so it rides the
+    zero-gather TPU path unchanged).  Leaves may be per-scenario
+    batched ((B, n_obj, ...)) or shared ((n_obj, ...)).
+    ``start_times``: (B,) absolute search start times (the dynamic
+    oracle is time-parametric); default zeros.
 
     Args:
       dists: (B, nx, ny, nz) distance fields (or (1, ...) shared).
@@ -901,31 +1096,169 @@ def search_batch(
     origins = jnp.asarray(origins, jnp.float32)
     starts = jnp.asarray(starts, jnp.float32)
     goals = jnp.asarray(goals, jnp.float32)
-    if dists.shape[0] == 1 and starts.shape[0] > 1:
-        dists = jnp.broadcast_to(dists, (starts.shape[0],) + dists.shape[1:])
+    # a (1, ...) dist is a SHARED map: vmap it with in_axes=None so the
+    # grid (and its packed safety planes) is closed over once instead
+    # of materializing B full copies in HBM
+    shared = bool(dists.shape[0] == 1 and starts.shape[0] > 1)
+    pred_axis = None
+    if obstacle_pred is not None:
+        pred_axis = 0 if obstacle_pred.poly.ndim == 4 else None
+    if start_times is None:
+        start_times = jnp.zeros((starts.shape[0],), jnp.float32)
+    else:
+        start_times = jnp.asarray(start_times, jnp.float32)
 
     return _search_batch_impl(
         dists, origins, jnp.asarray(resolution, jnp.float32), starts,
-        goals, lookup, shot_topk, box_cells, tuple(sorted(kw.items())),
+        goals, obstacle_pred, start_times,
+        lookup, shot_topk, box_cells, tuple(sorted(kw.items())),
+        shared, pred_axis,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lookup", "shot_topk", "box_cells", "skw"),
+    static_argnames=("lookup", "shot_topk", "box_cells", "skw",
+                     "shared", "pred_axis"),
 )
 def _search_batch_impl(dists, origins, resolution, starts, goals,
-                       lookup, shot_topk, box_cells, skw):
+                       pred, start_times,
+                       lookup, shot_topk, box_cells, skw,
+                       shared=False, pred_axis=None):
     kw = dict(skw)
 
-    def one(d, o, s, g):
+    def one(d, o, s, g, p, t0):
         return _search_impl(
-            d, o, resolution, s, g, None, 0.0,
+            d, o, resolution, s, g, p, t0,
             lookup=lookup, shot_topk=shot_topk, box_cells=box_cells,
             **kw,
         )
 
-    return jax.vmap(one)(dists, origins, starts, goals)
+    in_axes = (None if shared else 0, 0, 0, 0, pred_axis, 0)
+    d = dists[0] if shared else dists
+    return jax.vmap(one, in_axes=in_axes)(
+        d, origins, starts, goals, pred, start_times
+    )
+
+
+def _retry_bucket(n: int, lo: int = 32) -> int:
+    """Pad retry sub-batches to power-of-two buckets (bounded compile
+    count across ticks with varying failure counts)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def search_batch_adaptive(
+    dists,
+    origins,
+    resolution: float,
+    starts,
+    goals,
+    obstacle_pred=None,
+    start_times=None,
+    retries: int = 1,
+    widen: float = 2.0,
+    deepen: float = 1.5,
+    beam: int = 64,
+    max_iters: int = 30,
+    **kw,
+) -> tuple[KinoResult, int, int]:
+    """Batched beam search + BATCHED retry ladder over unreached lanes.
+
+    The batch analogue of :func:`search_adaptive` (round-5 VERDICT
+    item 2): after the base batch, the lanes whose search did not
+    reach the goal are re-searched TOGETHER as one wider/deeper
+    sub-batch (padded to a power-of-two bucket so repeated calls reuse
+    compiled shapes), and their results scattered back.  At the
+    bench's 945/1024 base reach this is one extra 128-lane program —
+    the retry path of the 100/100 quality claim, now on the batched
+    surface the pipeline bench actually runs.
+
+    Returns (merged KinoResult, n_retried_lanes, retries_used).
+    """
+    dists = jnp.asarray(dists)
+    res0 = search_batch(
+        dists, origins, resolution, starts, goals,
+        obstacle_pred=obstacle_pred, start_times=start_times,
+        beam=beam, max_iters=max_iters, **kw,
+    )
+    pred_batched = (
+        obstacle_pred is not None and obstacle_pred.poly.ndim == 4
+    )
+    origins = jnp.asarray(origins, jnp.float32)
+    starts = jnp.asarray(starts, jnp.float32)
+    goals = jnp.asarray(goals, jnp.float32)
+    shared = dists.shape[0] == 1 and starts.shape[0] > 1
+    out = res0
+    used = 0
+    n_retried = 0
+    reached = np.asarray(out.reached)
+    while used < retries and not reached.all():
+        used += 1
+        beam = int(round(beam * widen))
+        max_iters = int(round(max_iters * deepen))
+        idx = np.where(~reached)[0]
+        n_retried = max(n_retried, len(idx))
+        nb = min(_retry_bucket(len(idx)), starts.shape[0])
+        pidx = np.concatenate(
+            [idx, np.repeat(idx[-1:], nb - len(idx))]
+        )
+        sub = search_batch(
+            dists if shared else dists[pidx], origins[pidx],
+            resolution, starts[pidx], goals[pidx],
+            obstacle_pred=(
+                jax.tree.map(lambda x: x[pidx], obstacle_pred)
+                if pred_batched else obstacle_pred
+            ),
+            start_times=(
+                None if start_times is None
+                else jnp.asarray(start_times, jnp.float32)[pidx]
+            ),
+            beam=beam, max_iters=max_iters, **kw,
+        )
+        ok = np.asarray(sub.reached)[: len(idx)]
+        sel = idx[ok]
+        if len(sel):
+            sub_sel = jax.tree.map(
+                lambda x: x[: len(idx)][ok], sub
+            )
+            # a deeper rung returns MORE knots (n_knots =
+            # min(max_iters + 2, max_knots)); align by front-padding
+            # the shallower side with zero-duration duplicates of its
+            # first knot — the same leading-dupe convention the
+            # backtrack roll produces, which every knot consumer
+            # already handles
+            out, sub_sel = _align_knot_counts(out, sub_sel)
+            out = KinoResult(*(
+                o.at[sel].set(s) for o, s in zip(out, sub_sel)
+            ))
+        reached = np.asarray(out.reached)
+    return out, n_retried, used
+
+
+def _align_knot_counts(a: KinoResult, b: KinoResult):
+    """Front-pad the KinoResult with fewer knots (zero-duration dupes
+    of its first knot) so both have equal knot-axis shapes."""
+
+    def pad(r: KinoResult, k_to: int) -> KinoResult:
+        m = k_to - r.pos.shape[1]
+        if m <= 0:
+            return r
+        dup = lambda x: jnp.concatenate(
+            [jnp.repeat(x[:, :1], m, axis=1), x], axis=1
+        )
+        return r._replace(
+            pos=dup(r.pos), vel=dup(r.vel), acc=dup(r.acc),
+            times=jnp.concatenate(
+                [jnp.zeros(r.times.shape[:1] + (m,), r.times.dtype),
+                 r.times], axis=1,
+            ),
+        )
+
+    k = max(a.pos.shape[1], b.pos.shape[1])
+    return pad(a, k), pad(b, k)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

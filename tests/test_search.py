@@ -598,3 +598,280 @@ def test_resample_knots_batch_hermite_exact():
     np.testing.assert_allclose(
         np.asarray(coeff_r), np.asarray(sols.coeff[1]), atol=1e-4
     )
+
+
+def test_search_batch_dynamic_matches_single():
+    """Round-5: search_batch(obstacle_pred=...) == per-scenario
+    search(obstacle_pred=...) bitwise, for both batched and shared
+    prediction leaves (the batched space-time front-end,
+    kinodynamic_astar.cpp:199-213 at TPU scale)."""
+    rng = np.random.default_rng(21)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 3:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+
+    # one moving box per scenario, drifting across the map center
+    hist = np.stack([
+        np.array([[[-1.0 + 0.1 * i, 0.0, 1.5], [-0.8 + 0.1 * i, 0.0, 1.5]]],
+                 np.float32)
+        for i in range(3)
+    ])  # (B, n_obj=1, H=2, 3)
+    hist_t = np.broadcast_to(
+        np.array([[-0.5, 0.0]], np.float32), (3, 1, 2)
+    )
+    scale = np.full((3, 1, 3), 0.8, np.float32)
+    pred_b = jax.vmap(predictor.fit_const_vel)(
+        jnp.asarray(hist), jnp.asarray(hist_t), jnp.asarray(scale)
+    )
+    t0s = np.array([0.0, 0.3, 0.7], np.float32)
+
+    rb = kinodynamic.search_batch(
+        dists, origins, res, starts, goals, obstacle_pred=pred_b,
+        start_times=t0s, lookup="gather", max_iters=12, beam=32,
+    )
+    for i in range(3):
+        pred_i = jax.tree.map(lambda x: x[i], pred_b)
+        r1 = kinodynamic.search(
+            dists[i], jnp.asarray(origins[i]), res, starts[i],
+            goals[i], obstacle_pred=pred_i, start_time=float(t0s[i]),
+            lookup="gather", max_iters=12, beam=32,
+        )
+        for a, b in zip(r1, rb):
+            assert np.array_equal(np.asarray(a), np.asarray(b)[i])
+
+    # shared prediction leaves ((n_obj, ...)) + shared map
+    pred_s = jax.tree.map(lambda x: x[0], pred_b)
+    rb_sh = kinodynamic.search_batch(
+        dists[:1], origins, res, starts, goals, obstacle_pred=pred_s,
+        start_times=t0s, lookup="gather", max_iters=12, beam=32,
+    )
+    for i in range(3):
+        r1 = kinodynamic.search(
+            dists[0], jnp.asarray(origins[i]), res, starts[i],
+            goals[i], obstacle_pred=pred_s, start_time=float(t0s[i]),
+            lookup="gather", max_iters=12, beam=32,
+        )
+        for a, b in zip(r1, rb_sh):
+            assert np.array_equal(np.asarray(a), np.asarray(b)[i])
+
+
+def test_search_batch_adaptive_merges_retries():
+    """The batched retry ladder re-searches only unreached lanes and
+    scatters back; merged result must match a direct wide search on
+    the retried lanes and keep base results elsewhere."""
+    rng = np.random.default_rng(5)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 4:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+
+    # a starved base budget forces failures; the ladder must recover
+    base = kinodynamic.search_batch(
+        dists, origins, res, starts, goals, lookup="gather",
+        beam=8, max_iters=4,
+    )
+    merged, n_retried, used = kinodynamic.search_batch_adaptive(
+        dists, origins, res, starts, goals, lookup="gather",
+        beam=8, max_iters=4, retries=2, widen=4.0, deepen=3.0,
+    )
+    base_reached = np.asarray(base.reached)
+    merged_reached = np.asarray(merged.reached)
+    assert merged_reached.sum() >= base_reached.sum()
+    if not base_reached.all():
+        assert n_retried > 0 and used >= 1
+    # untouched lanes keep base results bitwise
+    for i in np.where(base_reached)[0]:
+        for a, b in zip(base, merged):
+            assert np.array_equal(np.asarray(a)[i], np.asarray(b)[i])
+
+
+def test_fast_heuristic_matches_exact():
+    """heu='fast' (polynomial cos(acos/3) + bit-trick cbrt) must track
+    the exact transcendental heuristic to f32 accuracy in the bulk:
+    p99 relative error < 1e-6, identical finite-ness, and knife-edge
+    deviations (different quartic-root selection where f32 root
+    formulas are themselves ill-conditioned) rarer than 1e-3."""
+    rng = np.random.default_rng(3)
+    N = 100000
+    x1 = np.concatenate([
+        rng.uniform(-20, 20, (N, 3)), rng.uniform(-3, 3, (N, 3))
+    ], 1).astype(np.float32)
+    x2 = np.concatenate([
+        rng.uniform(-20, 20, (N, 3)), rng.uniform(-3, 3, (N, 3))
+    ], 1).astype(np.float32)
+    he, te = kinodynamic.estimate_heuristic(
+        jnp.asarray(x1), jnp.asarray(x2), 10.0, 3.0
+    )
+    hf, tf = kinodynamic.estimate_heuristic(
+        jnp.asarray(x1), jnp.asarray(x2), 10.0, 3.0, fast=True
+    )
+    he, hf = np.asarray(he), np.asarray(hf)
+    assert np.array_equal(np.isfinite(he), np.isfinite(hf))
+    fin = np.isfinite(he)
+    rel = np.abs(hf[fin] / he[fin] - 1)
+    assert np.percentile(rel, 99) < 1e-6
+    assert (rel > 1e-3).mean() < 1e-3
+
+    # primitive accuracy
+    v = np.asarray(rng.uniform(-1e6, 1e6, 50000), np.float32)
+    fc = np.asarray(kinodynamic._fast_cbrt(jnp.asarray(v)))
+    assert np.max(np.abs(fc / np.cbrt(v.astype(np.float64)) - 1)) < 1e-6
+    x = np.linspace(-1, 1, 50001).astype(np.float32)
+    ca = np.asarray(kinodynamic._cos_acos3(jnp.asarray(x)))
+    assert np.max(np.abs(
+        ca - np.cos(np.arccos(x.astype(np.float64)) / 3)
+    )) < 3e-7
+
+
+def test_dedup_variants_quality():
+    """Round-5 dedup arms on fixture cases:
+
+    * 'pp64' (per-parent top-beam pre-cut) is provably EXACT — must
+      match dedup='exact' (the beam^2 bound) bitwise;
+    * 'approx512' (lax.approx_max_k pre-cut) must reach like exact512
+      and land close on seed cost (on CPU approx_max_k falls back to
+      an exact selection, so it equals exact512 here; the TPU
+      PartialReduce arm is gated on-chip by the throughput A/B).
+    """
+    rng = np.random.default_rng(17)
+    from grad_traj_optimization_tpu import fixtures
+
+    n_reach_e = n_reach_a = 0
+    for _ in range(6):
+        c = None
+        while c is None:
+            c = fixtures.random_search_case(rng)
+        dist, origin, res, start, goal = c
+        s6 = np.concatenate([start, np.zeros(3)]).astype(np.float32)
+        g6 = np.concatenate([goal, np.zeros(3)]).astype(np.float32)
+        kw = dict(max_iters=20, beam=64)
+        rx = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            dedup="exact", **kw,
+        )
+        rp = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            dedup="pp64", **kw,
+        )
+        for a, b in zip(rx, rp):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+        re_ = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            dedup="exact512", **kw,
+        )
+        ra = kinodynamic.search(
+            dist, jnp.asarray(origin, jnp.float32), res, s6, g6,
+            dedup="approx512", **kw,
+        )
+        n_reach_e += bool(re_.reached)
+        n_reach_a += bool(ra.reached)
+        if bool(re_.reached) and bool(ra.reached):
+            assert float(ra.cost) < 1.3 * float(re_.cost) + 1e-6
+    assert n_reach_a >= n_reach_e - 1
+
+
+def test_beam_quality_pinned_gate():
+    """Round-5 CI enforcement of the recorded beam quality (VERDICT r4
+    item 6): the 25-case pinned fixture suite vs BOTH exact host
+    oracles, whose refined objectives are cached on disk
+    (scripts/gen_beam_gate_cache.py — the native engine is
+    deterministic).  Only the batched beam + batched refine run here
+    (one compile each), so the real recorded bounds are enforced
+    cheaply: success 25/25 with retries, vs-kino cost gm <= 0.97,
+    vs-hybrid cost gm <= 1.12 (recorded 100-case: 0.858 / 0.983,
+    BEAM_VS_EXACT.md; the old 12-case smoke bound of 1.45 let a
+    regression to 1.4 pass).
+    """
+    import os
+    import pytest
+
+    cache_path = os.path.join(
+        os.path.dirname(__file__), "data", "beam_gate_oracle.npz"
+    )
+    if not os.path.exists(cache_path):
+        pytest.skip("oracle cache missing (scripts/gen_beam_gate_cache.py)")
+    cache = np.load(cache_path)
+    n_cases = int(cache["n_cases"])
+    margin = float(cache["margin"])
+
+    from grad_traj_optimization_tpu import fixtures, replan
+    from grad_traj_optimization_tpu import solver as solve_mod
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    rng = np.random.default_rng(int(cache["seed"]))
+    cases = []
+    while len(cases) < n_cases:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+
+    merged, _n_retried, _used = kinodynamic.search_batch_adaptive(
+        dists, origins, res, starts, goals, retries=2,
+        margin=margin, max_vel=3.0, max_acc=2.0,
+        beam=64, max_iters=30,
+    )
+    reached = np.asarray(merged.reached)
+    assert reached.all(), f"beam+retries reached {reached.sum()}/{n_cases}"
+
+    # batched race refine (search-duration arm vs stretch-1.2 arm),
+    # mirroring the recorded front-end config (BEAM_VS_EXACT.md)
+    cfg = OptimizerConfig(iters_step2=int(cache["refine_iters"]))
+    p6, v6, a6, t6 = kinodynamic.resample_knots_batch(
+        merged.pos, merged.vel, merged.acc, merged.times, 6
+    )
+    ress = np.full(n_cases, res, np.float32)
+    costs = []
+    for t_arm in (t6, t6 * 1.2):
+        sol = solve_mod.solve_kino_batch(
+            jnp.asarray(dists), jnp.asarray(origins),
+            jnp.asarray(ress), p6, v6, a6, t_arm,
+            cfg=cfg, steps=(2,),
+        )
+        costs.append(np.asarray(sol.cost))
+    cb = np.minimum(*costs)
+
+    def gm_ratio(oracle_ok, oracle_cost):
+        ok = np.asarray(oracle_ok) & np.isfinite(cb)
+        r = cb[ok] / np.maximum(np.asarray(oracle_cost)[ok], 1e-9)
+        return float(np.exp(np.mean(np.log(np.maximum(r, 1e-9))))), ok.sum()
+
+    gm_k, n_k = gm_ratio(cache["ok_kino"], cache["cost_kino"])
+    gm_h, n_h = gm_ratio(cache["ok_hybrid"], cache["cost_hybrid"])
+    assert n_k >= n_cases - 2 and n_h >= n_cases - 2
+    assert gm_k <= 0.97, f"vs-kino refined-cost gm {gm_k:.3f} > 0.97"
+    assert gm_h <= 1.12, f"vs-hybrid refined-cost gm {gm_h:.3f} > 1.12"

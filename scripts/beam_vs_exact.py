@@ -109,7 +109,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
               beam: int = 64, margin: float = 0.2, verbose: bool = True,
               exact: str = "kino", beam_max_tau: float = 0.5,
               retime: str = "search", retries: int = 0,
-              shot_mode: int = 0):
+              shot_mode: int = 0, search_kw: dict | None = None):
     """Returns the aggregate stats dict (and prints a per-case line).
 
     ``exact`` picks the host oracle the beam is gated against:
@@ -163,7 +163,7 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             s6.astype(np.float32), g6.astype(np.float32),
             margin=margin, max_vel=3.0, max_acc=2.0,
             max_iters=kino_iters, beam=beam, max_tau=beam_max_tau,
-            retries=retries,
+            retries=retries, **(search_kw or {}),
         )
         n_retried += _n_retry
         ok_b = bool(kb.reached)

@@ -76,6 +76,8 @@ class ServerStats:
     total_ms: list = dataclasses.field(default_factory=list)  # submit->done
     assemble_ms: list = dataclasses.field(default_factory=list)  # per batch
     device_ms: list = dataclasses.field(default_factory=list)    # per batch
+    solve_ms: list = dataclasses.field(default_factory=list)     # instrument
+    download_ms: list = dataclasses.field(default_factory=list)  # instrument
 
     def summary(self) -> dict:
         def pct(a, q):
@@ -97,6 +99,8 @@ class ServerStats:
             "total_ms_p99": pct(self.total_ms, 99),
             "assemble_ms_p50": pct(self.assemble_ms, 50),
             "device_ms_p50": pct(self.device_ms, 50),
+            "solve_ms_p50": pct(self.solve_ms, 50),
+            "download_ms_p50": pct(self.download_ms, 50),
         }
 
 
@@ -252,6 +256,11 @@ class SolveServer:
             sol = solve_mod.solve_batch(
                 scn_b, cfg=self.cfg, steps=self.steps, record_trace=False
             )
+            # device-time barrier: one scalar host read (the tunnel
+            # under-synchronizes block_until_ready) — splits solve time
+            # from the result download in the stats
+            _ = float(sol.status[0])
+            t_solved = time.perf_counter()
             # pull the WHOLE batched Solution to host in one transfer per
             # leaf, then slice in NumPy — per-lane device slicing would
             # issue B x n_leaves tiny device ops, which a remote/tunneled
@@ -278,6 +287,8 @@ class SolveServer:
             self.stats.batch_sizes.append(n)
             self.stats.assemble_ms.append((t_assembled - t_dispatch) * 1e3)
             self.stats.device_ms.append((t_done - t_assembled) * 1e3)
+            self.stats.solve_ms.append((t_solved - t_assembled) * 1e3)
+            self.stats.download_ms.append((t_done - t_solved) * 1e3)
             for _, _, t0 in batch:
                 self.stats.wait_ms.append((t_dispatch - t0) * 1e3)
                 self.stats.total_ms.append((t_done - t0) * 1e3)

@@ -156,28 +156,44 @@ def main():
 
     ress_b = np.full((BATCH,), res, np.float32)
 
+    # honest end-to-end pipeline (round-5 VERDICT item 2): the search
+    # stage runs the BATCHED RETRY LADDER (one wider/deeper sub-batch
+    # over unreached lanes — the path behind the 100/100 quality
+    # claim), and success counts (search reached) AND (refine
+    # status == 0).  Refining a truncated seed to "converged" no
+    # longer counts (reference status flow kinodynamic_astar.cpp:
+    # 278-313: only REACH_END hands a full seed to the optimizer).
     def run_pipeline():
-        r = run_search()
+        r, n_re, _ = kd.search_batch_adaptive(
+            dist, origins_b, res, starts, goals, max_iters=16,
+            beam=64, retries=1,
+        )
         p6, v6, a6, t6 = kd.resample_knots_batch(
             r.pos, r.vel, r.acc, r.times, 6
         )
-        return solve_mod.solve_kino_batch(
+        sol = solve_mod.solve_kino_batch(
             dist, jnp.asarray(origins_b), jnp.asarray(ress_b),
             p6, v6, a6, t6, cfg=cfg, steps=(2,),
         )
+        return r, sol
 
-    sp = run_pipeline()
+    rp, sp = run_pipeline()
     sync(sp)
     t_pl = []
     for _i in range(3):
         t0 = time.perf_counter()
-        sync(run_pipeline())
+        rp, sp = run_pipeline()
+        sync(sp)
         t_pl.append(time.perf_counter() - t0)
     t_pipeline = min(t_pl)
+    n_reached_retry = int(jnp.sum(rp.reached))
+    n_ok_reached = int(jnp.sum(rp.reached & (sp.status == 0)))
     frontend_stats = {
         "frontend_searches_per_s": round(BATCH / t_search, 1),
         "frontend_reached": n_reached,
         "pipeline_solves_per_s": round(BATCH / t_pipeline, 1),
+        "pipeline_reached": n_reached_retry,
+        "pipeline_ok_reached": n_ok_reached,
         "pipeline_n_ok": int(jnp.sum(sp.status == 0)),
         "pipeline_search_fraction": round(t_search / t_pipeline, 3),
     }

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Callable
 
 import numpy as np
@@ -69,6 +70,11 @@ class TickResult:
     search_ok: bool
     min_clearance: float
     via_fallback: bool = False    # beam failed; exact host A* seeded
+    # per-stage wall seconds (tick-tail attribution, round-5 VERDICT
+    # item 5); host-observed, so each includes its device dispatches
+    t_search: float = 0.0         # beam search (incl. result readback)
+    t_fallback: float = 0.0       # exact host A* when the beam failed
+    t_refine: float = 0.0         # resample + penalty refine + fly
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps"))
@@ -260,6 +266,7 @@ def replan_loop(
         # 2. kinodynamic search against the space-time oracle: static EDT
         #    min predicted obstacle boxes at each primitive's absolute time
         #    (reference compare22 flow, kinodynamic_astar 'dynamic' mode)
+        t_s0 = time.perf_counter()
         kres = kinodynamic.search(
             dist_grid, origin, resolution,
             state.astype(np.float32), tgt.astype(np.float32),
@@ -268,10 +275,12 @@ def replan_loop(
             margin=rcfg.margin, max_iters=rcfg.kino_iters,
             beam=rcfg.kino_beam,
         )
-        search_ok = bool(kres.reached)
+        search_ok = bool(kres.reached)  # host read = device sync
+        t_search = time.perf_counter() - t_s0
         via_fallback = False
         knots = (kres.pos, kres.vel, kres.acc, kres.times)
 
+        t_f0 = time.perf_counter()
         if not search_ok and rcfg.fallback_exact:
             # the beam is a fixed-iteration approximation and can miss
             # narrow passages the exact search threads; retry with the
@@ -291,6 +300,7 @@ def replan_loop(
                     search_ok = True
                     via_fallback = True
                     knots = (fpos, fvel, facc, ftimes)
+        t_fallback = time.perf_counter() - t_f0
 
         if not search_ok:
             # NO_PATH this tick (reference kinodynamic_astar.cpp:278-313
@@ -317,6 +327,8 @@ def replan_loop(
                     reached_goal=False,
                     search_ok=False,
                     min_clearance=dmin,
+                    t_search=t_search,
+                    t_fallback=t_fallback,
                 )
             )
             continue
@@ -326,6 +338,7 @@ def replan_loop(
         # geometry exactly); the host _resample_knots returns FEWER
         # knots on short branches, and every distinct count compiled
         # its own ~9 s refine program (multi-second p99 tick spikes)
+        t_r0 = time.perf_counter()
         p6, v6, a6, t6 = kinodynamic.resample_knots_batch(
             np.asarray(knots[0], np.float32)[None],
             np.asarray(knots[1], np.float32)[None],
@@ -361,6 +374,7 @@ def replan_loop(
         state = np.concatenate([np.asarray(p), np.asarray(v)]).astype(
             np.float64
         )
+        t_refine = time.perf_counter() - t_r0
 
         results.append(
             TickResult(
@@ -373,6 +387,9 @@ def replan_loop(
                 search_ok=search_ok,
                 min_clearance=dmin,
                 via_fallback=via_fallback,
+                t_search=t_search,
+                t_fallback=t_fallback,
+                t_refine=t_refine,
             )
         )
         if results[-1].reached_goal:

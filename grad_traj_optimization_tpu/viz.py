@@ -130,3 +130,87 @@ def plot_cost_curve(sol, ax=None):
     ax.set_xlabel("iteration")
     ax.set_ylabel("best cost")
     return ax
+
+
+def animate_trajectory(sol, scenario, path: str | None = None,
+                       fps: int = 20, speedup: float = 1.0,
+                       n_samples: int = 400, trail: bool = True):
+    """Time-swept trajectory animation — the displayTrajectory marker
+    sweep (display.h:57-158: a marker advances along the polynomial at
+    wall-clock rate, leaving the traversed prefix drawn).
+
+    Renders a top-down scene (obstacles, waypoints, full path faint)
+    with a vehicle marker moving at ``speedup`` x real time; the
+    traversed prefix draws solid when ``trail``.  Returns the
+    matplotlib FuncAnimation; ``path`` saves it (.gif via pillow,
+    .mp4 via ffmpeg when available, else falls back to a frame-dump
+    directory of PNGs).
+    """
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    arrays = scene_arrays(sol, scenario, n_samples)
+    tr, ts = arrays["traj"], arrays["t"]
+    total_t = float(ts[-1])
+    n_frames = max(2, int(total_t / speedup * fps))
+    frame_t = np.linspace(0.0, total_t, n_frames)
+    # frame -> last sample index at or before the frame time
+    fidx = np.searchsorted(ts, frame_t, side="right") - 1
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    res = float(arrays["resolution"])
+    origin = arrays["origin"]
+    occ = arrays["occupied"]
+    if len(occ):
+        ax.scatter(
+            origin[0] + (occ[:, 0] + 0.5) * res,
+            origin[1] + (occ[:, 1] + 0.5) * res,
+            s=2, c="0.6", marker="s",
+        )
+    wp = arrays["waypoints"]
+    ax.plot(wp[:, 0], wp[:, 1], "ro--", ms=4, lw=0.8)
+    ax.plot(tr[:, 0], tr[:, 1], "b-", lw=0.6, alpha=0.3)
+    (trail_ln,) = ax.plot([], [], "b-", lw=1.8)
+    (marker,) = ax.plot([], [], "ko", ms=7)
+    title = ax.set_title("t = 0.00 s")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+
+    def update(i):
+        k = fidx[i]
+        if trail:
+            trail_ln.set_data(tr[: k + 1, 0], tr[: k + 1, 1])
+        marker.set_data([tr[k, 0]], [tr[k, 1]])
+        title.set_text(f"t = {frame_t[i]:.2f} s")
+        return trail_ln, marker, title
+
+    anim = animation.FuncAnimation(
+        fig, update, frames=n_frames, interval=1000 / fps, blit=False
+    )
+    if path is not None:
+        if path.endswith(".gif"):
+            anim.save(path, writer="pillow", fps=fps)
+        elif path.endswith(".mp4"):
+            try:
+                anim.save(path, writer="ffmpeg", fps=fps)
+            except Exception:  # no ffmpeg: frame-dump fallback
+                _dump_frames(fig, update, n_frames, path + ".frames")
+        else:
+            _dump_frames(fig, update, n_frames, path)
+        plt.close(fig)
+    return anim
+
+
+def _dump_frames(fig, update, n_frames, out_dir: str):
+    """Frame-dump export (one PNG per frame) for environments without
+    a movie writer."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_frames):
+        update(i)
+        fig.savefig(f"{out_dir}/frame_{i:04d}.png", dpi=80)
+    return out_dir

@@ -87,6 +87,21 @@ def main():
         print(f"kino run {r}: {len(results)} ticks, "
               f"reached={results[-1].reached_goal}, total {t_total:.2f}s",
               flush=True)
+        # per-stage attribution of the slowest warm ticks (round-5
+        # VERDICT item 5: WHERE does the p99 tick go?)
+        warm = results[2:]
+        order = np.argsort([-(t.t_search + t.t_fallback + t.t_refine)
+                            for t in warm])[:3]
+        for j in order:
+            t = warm[j]
+            print(json.dumps({
+                "slow_tick": int(j), "run": r,
+                "search_ms": round(t.t_search * 1e3, 1),
+                "fallback_ms": round(t.t_fallback * 1e3, 1),
+                "refine_ms": round(t.t_refine * 1e3, 1),
+                "search_ok": t.search_ok,
+                "via_fallback": t.via_fallback,
+            }), flush=True)
     at = np.asarray(all_ticks)
     out.update({
         "kino_warm_tick_p50_ms": round(float(np.percentile(at, 50)) * 1e3, 1),

@@ -375,6 +375,36 @@ def test_viz_esdf_layers(tmp_path):
     plt.close("all")
 
 
+def test_viz_animate_trajectory(tmp_path):
+    """Time-swept trajectory animation (display.h:57-158 analogue):
+    gif export + frame-dump fallback both produce output."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    map_cfg = MapConfig(
+        origin=(-5.0, -5.0, 0.0), resolution=0.5,
+        map_size=(10.0, 10.0, 4.0),
+    )
+    wp = np.array([[0, -2, 2], [0.5, 0, 2], [0, 2, 2]], np.float32)
+    obss = np.array([[1.0, 0.0, z] for z in np.arange(0.25, 4, 0.5)])
+    scn = solve_mod.make_scenario(wp, obss, map_cfg)
+    sol = solve_mod.solve(
+        scn, cfg=OptimizerConfig(iters_step2=5), steps=(2,)
+    )
+    gif = tmp_path / "traj.gif"
+    viz.animate_trajectory(sol, scn, path=str(gif), fps=5, speedup=4.0,
+                           n_samples=60)
+    assert gif.exists() and gif.stat().st_size > 0
+    frames = viz.animate_trajectory(
+        sol, scn, path=str(tmp_path / "frames"), fps=5, speedup=8.0,
+        n_samples=60,
+    )
+    import os
+
+    assert len(os.listdir(tmp_path / "frames")) >= 2
+
+
 def test_solve_batch_polish_matches_single():
     """The dual post-race polish composes identically through the
     batched and single-scenario solve paths."""

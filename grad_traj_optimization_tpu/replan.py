@@ -174,6 +174,27 @@ def _resample_knots(pos, vel, acc, times, n: int):
     return pos[idx], vel[idx], acc[idx], np.array(seg_times)
 
 
+def _pad_knots_fixed(pos, vel, acc, times, k_to: int = 48):
+    """Normalize a variable-length knot branch to EXACTLY ``k_to``
+    knots: downsample via :func:`_resample_knots` when longer, then
+    front-pad with zero-duration duplicates of the first knot (the
+    masked-dupe convention the traced resampler already drops).
+    Keeps every jitted consumer at one compiled shape."""
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    acc = np.asarray(acc, np.float64)
+    times = np.asarray(times, np.float64)
+    if len(pos) > k_to:
+        pos, vel, acc, times = _resample_knots(pos, vel, acc, times, k_to)
+    m = k_to - len(pos)
+    if m > 0:
+        pos = np.concatenate([np.repeat(pos[:1], m, axis=0), pos])
+        vel = np.concatenate([np.repeat(vel[:1], m, axis=0), vel])
+        acc = np.concatenate([np.repeat(acc[:1], m, axis=0), acc])
+        times = np.concatenate([np.zeros(m), times])
+    return pos, vel, acc, times
+
+
 def replan_loop(
     dist_grid,
     origin,
@@ -299,7 +320,14 @@ def replan_loop(
                 if freached and len(ftimes) >= 1:
                     search_ok = True
                     via_fallback = True
-                    knots = (fpos, fvel, facc, ftimes)
+                    # the exact A* returns a VARIABLE knot count; pad
+                    # to ONE fixed shape so the jitted resampler
+                    # compiles once for every fallback tick (each
+                    # distinct count was a fresh ~0.5 s compile — the
+                    # 966 ms p99 tick, round-5 attribution)
+                    knots = _pad_knots_fixed(
+                        fpos, fvel, facc, ftimes, k_to=48
+                    )
         t_fallback = time.perf_counter() - t_f0
 
         if not search_ok:

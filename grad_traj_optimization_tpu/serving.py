@@ -35,6 +35,7 @@ which micro-batching amortizes across the batch (see
 from __future__ import annotations
 
 import dataclasses
+import functools
 import threading
 import time
 from concurrent.futures import Future
@@ -204,6 +205,38 @@ class SolveServer:
                 for _, f, _ in batch:
                     _safe_resolve(f, exception=e)
 
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _packer(treedef, shapes_dtypes):
+        """One jitted flatten-and-concat program per Solution shape
+        family (cached so repeated buckets reuse the compile)."""
+        import jax
+        import jax.numpy as jnp
+
+        def pack(*leaves):
+            return jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32) for x in leaves]
+            )
+
+        return jax.jit(pack)
+
+    def _download_packed(self, sol):
+        """Download a batched Solution in ONE transfer (see _dispatch)."""
+        import jax
+
+        leaves, treedef = jax.tree.flatten(sol)
+        shapes_dtypes = tuple((tuple(x.shape), str(x.dtype)) for x in leaves)
+        packed = self._packer(treedef, shapes_dtypes)(*leaves)
+        flat = np.asarray(packed)  # the single device->host transfer
+        out, off = [], 0
+        for (shape, dtype), leaf in zip(shapes_dtypes, leaves):
+            n = int(np.prod(shape)) if shape else 1
+            out.append(
+                flat[off:off + n].reshape(shape).astype(dtype)
+            )
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
     def _bucket(self, n: int) -> int:
         if not self.pad_buckets:
             return n
@@ -261,13 +294,15 @@ class SolveServer:
             # from the result download in the stats
             _ = float(sol.status[0])
             t_solved = time.perf_counter()
-            # pull the WHOLE batched Solution to host in one transfer per
-            # leaf, then slice in NumPy — per-lane device slicing would
-            # issue B x n_leaves tiny device ops, which a remote/tunneled
-            # device turns into seconds of dispatch overhead per batch
+            # pull the WHOLE batched Solution in ONE device->host
+            # transfer: per-leaf np.asarray costs one tunnel RTT per
+            # leaf (7 sequential round-trips/batch — measured as most
+            # of the round-4 serving device-time gap); packing the
+            # leaves into one flat f32 buffer on device and splitting
+            # on host pays a single RTT
             import jax
 
-            host = jax.tree.map(np.asarray, sol)
+            host = self._download_packed(sol)
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for f in futs:
                 _safe_resolve(f, exception=e)

@@ -109,7 +109,8 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
               beam: int = 64, margin: float = 0.2, verbose: bool = True,
               exact: str = "kino", beam_max_tau: float = 0.5,
               retime: str = "search", retries: int = 0,
-              shot_mode: int = 0, search_kw: dict | None = None):
+              shot_mode: int = 0, search_kw: dict | None = None,
+              long_tau_arm: bool = False):
     """Returns the aggregate stats dict (and prints a per-case line).
 
     ``exact`` picks the host oracle the beam is gated against:
@@ -166,7 +167,23 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             retries=retries, **(search_kw or {}),
         )
         n_retried += _n_retry
-        ok_b = bool(kb.reached)
+        kb2 = None
+        if long_tau_arm and abs(beam_max_tau - 1.0) > 1e-6:
+            # round-5 VERDICT item 8: a STRUCTURALLY different second
+            # search arm with the hybrid A*'s long primitives
+            # (hybrid_astar.cpp:8-24 hard-codes max_tau = 1 s) joins
+            # the per-case race — probing whether the p90 tail vs the
+            # hybrid is basin-limited or primitive-length-limited
+            kb2_r, _ = kinodynamic.search_adaptive(
+                dist, jnp.asarray(origin, jnp.float32), res,
+                s6.astype(np.float32), g6.astype(np.float32),
+                margin=margin, max_vel=3.0, max_acc=2.0,
+                max_iters=kino_iters, beam=beam, max_tau=1.0,
+                retries=retries, **(search_kw or {}),
+            )
+            if bool(kb2_r.reached):
+                kb2 = kb2_r
+        ok_b = bool(kb.reached) or kb2 is not None
         n_exact += ok_e
         n_beam += ok_b
         line = f"case {case}: exact={ok_e} beam={ok_b}"
@@ -175,17 +192,27 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
             ce, te, je = refine_cost(
                 dist, origin, res, pe[0], pe[1], pe[2], pe[3], cfg
             )
-            knots_b = (
-                np.asarray(kb.pos), np.asarray(kb.vel),
-                np.asarray(kb.acc), np.asarray(kb.times),
+            seeds = []
+            if bool(kb.reached):
+                seeds.append((
+                    np.asarray(kb.pos), np.asarray(kb.vel),
+                    np.asarray(kb.acc), np.asarray(kb.times),
+                ))
+            if kb2 is not None:
+                seeds.append((
+                    np.asarray(kb2.pos), np.asarray(kb2.vel),
+                    np.asarray(kb2.acc), np.asarray(kb2.times),
+                ))
+            arms = (
+                [a for a in retime[5:].split(",")]
+                if retime.startswith("race:") else [retime]
             )
-            if retime.startswith("race:"):
-                # seed-level duration race: refine each retime arm and
-                # keep the lowest cost per case (on TPU all arms ride
-                # one batched kernel; measured in scripts/
-                # ab_beam_retime.py)
-                cb = tb = jb = None
-                for arm in retime[5:].split(","):
+            # race every (search seed) x (retime arm) refinement and
+            # keep the lowest cost per case (on TPU all arms ride one
+            # batched kernel; measured in scripts/ab_beam_retime.py)
+            cb = tb = jb = None
+            for knots_b in seeds:
+                for arm in arms:
                     mode, _, sarg = arm.partition(":")
                     kw = {"stretch": float(sarg)} if sarg else {}
                     ca_, ta_, ja_ = refine_cost(
@@ -194,12 +221,6 @@ def run_suite(n_cases: int, seed: int = 0, kino_iters: int = 30,
                     )
                     if cb is None or ca_ < cb:
                         cb, tb, jb = ca_, ta_, ja_
-            else:
-                mode, _, sarg = retime.partition(":")
-                kw = {"stretch": float(sarg)} if sarg else {}
-                cb, tb, jb = refine_cost(
-                    dist, origin, res, *knots_b, cfg, retime=mode, **kw,
-                )
             ratios_cost.append(cb / max(ce, 1e-9))
             ratios_time.append(tb / max(te, 1e-9))
             ratios_jerk.append(jb / max(je, 1e-9))

@@ -247,6 +247,21 @@ def replan_loop(
     t_now = 0.0
     results: list[TickResult] = []
 
+    if rcfg.fallback_exact:
+        # pre-warm the fallback seed's fixed resample shape (48 knots,
+        # _pad_knots_fixed) so the first fallback TICK does not pay its
+        # ~0.8 s compile — that compile WAS the measured warm-tick p99
+        # (959 ms vs 262 ms p50, round-5 chip attribution)
+        wp_, wv_, wa_, wt_ = _pad_knots_fixed(
+            np.zeros((2, 3)), np.zeros((2, 3)), np.zeros((2, 3)),
+            np.full((1,), 0.5),
+        )
+        kinodynamic.resample_knots_batch(
+            wp_[None].astype(np.float32), wv_[None].astype(np.float32),
+            wa_[None].astype(np.float32), wt_[None].astype(np.float32),
+            rcfg.n_waypoints,
+        )
+
     for tick in range(rcfg.max_ticks):
         # 0. static map changes (walls appearing/vanishing mid-flight)
         if map_update is not None:

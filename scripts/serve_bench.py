@@ -76,7 +76,7 @@ def main():
     # not XLA compiles
     t0 = time.perf_counter()
     b = 1
-    while b <= 256:
+    while b <= max_batch:
         futs = [server.submit(scenario(i)) for i in range(b)]
         for f in futs:
             f.result(timeout=900)
@@ -113,6 +113,8 @@ def main():
                     "queue_wait_ms_p50": round(s["wait_ms_p50"], 1),
                     "assemble_ms_p50": round(s["assemble_ms_p50"], 1),
                     "device_ms_p50": round(s["device_ms_p50"], 1),
+                    "solve_ms_p50": round(s["solve_ms_p50"], 1),
+                    "download_ms_p50": round(s["download_ms_p50"], 1),
                     "pad_fraction": round(s["pad_fraction"], 3),
                 }
             ),

@@ -154,6 +154,47 @@ def main():
     t_search = min(t_se)
     n_reached = int(jnp.sum(rb.reached))
 
+    # ---- moving-obstacle (space-time) batched front-end (round 5) ----
+    # compare22's dynamic mode at TPU scale: every primitive sweep
+    # sample additionally tested against predicted moving boxes at its
+    # absolute node time (kinodynamic_astar.cpp:199-213).  Two drifting
+    # boxes per scenario, batched prediction leaves.
+    from grad_traj_optimization_tpu.search import predictor
+
+    n_obj = 2
+    hist = np.zeros((BATCH, n_obj, 2, 3), np.float32)
+    rng_d = np.random.default_rng(7)
+    p0 = rng_d.uniform(-4, 4, (BATCH, n_obj, 3))
+    p0[..., 2] = rng_d.uniform(1.0, 3.0, (BATCH, n_obj))
+    v0 = rng_d.uniform(-0.6, 0.6, (BATCH, n_obj, 3))
+    hist[:, :, 0] = (p0 - 0.5 * v0).astype(np.float32)
+    hist[:, :, 1] = p0.astype(np.float32)
+    hist_t = np.broadcast_to(
+        np.array([[-0.5, 0.0]], np.float32), (BATCH, n_obj, 2)
+    )
+    scale = np.full((BATCH, n_obj, 3), 0.8, np.float32)
+    pred_b = jax.vmap(predictor.fit_const_vel)(
+        jnp.asarray(hist), jnp.asarray(hist_t), jnp.asarray(scale)
+    )
+
+    def run_search_dyn():
+        return kd.search_batch(
+            dist, origins_b, res, starts, goals, obstacle_pred=pred_b,
+            start_times=np.zeros(BATCH, np.float32),
+            max_iters=16, beam=64,
+        )
+
+    rd = run_search_dyn()
+    _ = float(jnp.sum(rd.cost))
+    t_sd = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        r2 = run_search_dyn()
+        _ = float(jnp.sum(r2.cost))
+        t_sd.append(time.perf_counter() - t0)
+    t_search_dyn = min(t_sd)
+    n_reached_dyn = int(jnp.sum(rd.reached))
+
     ress_b = np.full((BATCH,), res, np.float32)
 
     # honest end-to-end pipeline (round-5 VERDICT item 2): the search
@@ -191,6 +232,10 @@ def main():
     frontend_stats = {
         "frontend_searches_per_s": round(BATCH / t_search, 1),
         "frontend_reached": n_reached,
+        "frontend_dynamic_searches_per_s": round(
+            BATCH / t_search_dyn, 1
+        ),
+        "frontend_dynamic_reached": n_reached_dyn,
         "pipeline_solves_per_s": round(BATCH / t_pipeline, 1),
         "pipeline_reached": n_reached_retry,
         "pipeline_ok_reached": n_ok_reached,

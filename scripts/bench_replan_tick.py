@@ -39,6 +39,7 @@ def main():
     from grad_traj_optimization_tpu.config import OptimizerConfig
 
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    kino_beam = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
     # the reference's own demo map (200x200x25 @ 0.2 m) flown corner
     # to corner through its wall gaps
@@ -77,7 +78,8 @@ def main():
             replan.replan_loop,
             dist_grid=dist, origin=origin, resolution=res,
             start_state=start, goal=goal,
-            rcfg=replan.ReplanConfig(max_ticks=40, horizon=8.0),
+            rcfg=replan.ReplanConfig(max_ticks=40, horizon=8.0,
+                                     kino_beam=kino_beam),
             ocfg=ocfg,
         )
         reached += any(t.reached_goal for t in results)

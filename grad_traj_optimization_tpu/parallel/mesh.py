@@ -166,3 +166,69 @@ def sharded_solve_fused(scenarios, mesh: Mesh, cfg=None, steps=(2,),
         mesh, cfg, tuple(steps), record_trace, True, interpret
     )
     return run(scenarios)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_search_runner(mesh: Mesh, resolution: float, shared: bool,
+                           skw):
+    """Cached shard_map-wrapped batched beam search (round 5).
+
+    Same caching contract as :func:`_sharded_runner` — a fresh closure
+    per call would defeat the compilation cache.  ``shared`` replicates
+    a leading-dim-1 distance grid instead of splitting it.
+    """
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+
+    kw = dict(skw)
+    dspec = P() if shared else P("data")
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(dspec, P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    def run(dists, origins, starts, goals):
+        return kd.search_batch(
+            dists, origins, resolution, starts, goals, **kw
+        )
+
+    return run
+
+
+def sharded_search(dists, origins, resolution, starts, goals,
+                   mesh: Mesh, **kw):
+    """Data-parallel batched beam search over the mesh's "data" axis.
+
+    The front-end analogue of :func:`sharded_solve` (the search is
+    embarrassingly parallel over scenarios): each device runs the full
+    batched beam program — including its zero-gather box lookups and
+    sort-payload dedup — on its scenario shard.  A leading-dim-1
+    ``dists`` is treated as a SHARED map and replicated to every
+    device (each shard then takes search_batch's own shared fast
+    path).  Batch must divide by the data-axis size.
+    """
+    import jax.numpy as jnp
+
+    dists = jnp.asarray(dists)
+    starts = jnp.asarray(starts, jnp.float32)
+    shared = bool(dists.shape[0] == 1 and starts.shape[0] > 1)
+    n_data = mesh.shape["data"]
+    if starts.shape[0] % n_data:
+        raise ValueError(
+            f"batch {starts.shape[0]} not divisible by data axis "
+            f"{n_data}"
+        )
+    dsh = NamedSharding(mesh, P() if shared else P("data"))
+    lsh = NamedSharding(mesh, P("data"))
+    run = _sharded_search_runner(
+        mesh, float(resolution), shared, tuple(sorted(kw.items()))
+    )
+    return run(
+        jax.device_put(dists, dsh),
+        jax.device_put(jnp.asarray(origins, jnp.float32), lsh),
+        jax.device_put(starts, lsh),
+        jax.device_put(jnp.asarray(goals, jnp.float32), lsh),
+    )

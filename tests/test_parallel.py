@@ -197,3 +197,41 @@ def test_sharded_edt_512_sharded_axis():
     np.testing.assert_allclose(
         np.asarray(d_sh), d_ref, rtol=1e-5, atol=1e-4
     )
+
+
+def test_sharded_search_matches_local():
+    """Round-5: mesh.sharded_search == search_batch bitwise over the
+    8-device mesh, for both per-lane and shared (dim-1) maps."""
+    from grad_traj_optimization_tpu import fixtures
+    from grad_traj_optimization_tpu.parallel import mesh as pmesh
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+
+    rng = np.random.default_rng(5)
+    cases = []
+    while len(cases) < 8:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    m = pmesh.make_mesh()
+    kw = dict(max_iters=10, beam=16)
+    r_sh = pmesh.sharded_search(dists, origins, res, starts, goals, m,
+                                **kw)
+    r_loc = kd.search_batch(dists, origins, res, starts, goals, **kw)
+    for a, b in zip(r_sh, r_loc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shared-map (leading dim 1) replication path
+    r_sh2 = pmesh.sharded_search(dists[:1], origins, res, starts,
+                                 goals, m, **kw)
+    r_loc2 = kd.search_batch(dists[:1], origins, res, starts, goals,
+                             **kw)
+    for a, b in zip(r_sh2, r_loc2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

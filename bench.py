@@ -229,6 +229,35 @@ def main():
     t_pipeline = min(t_pl)
     n_reached_retry = int(jnp.sum(rp.reached))
     n_ok_reached = int(jnp.sum(rp.reached & (sp.status == 0)))
+
+    # quality-at-scale variant: the seed-duration RACE (the gate-
+    # measured quality lever) batched — two refine arms per lane,
+    # winner by cost
+    def run_pipeline_race():
+        r, _, _ = kd.search_batch_adaptive(
+            dist, origins_b, res, starts, goals, max_iters=16,
+            beam=64, retries=1,
+        )
+        p6, v6, a6, t6 = kd.resample_knots_batch(
+            r.pos, r.vel, r.acc, r.times, 6
+        )
+        return r, solve_mod.solve_kino_batch_race(
+            dist, jnp.asarray(origins_b), jnp.asarray(ress_b),
+            p6, v6, a6, t6, stretches=(1.0, 1.2), cfg=cfg, steps=(2,),
+        )
+
+    rr, sr = run_pipeline_race()
+    sync(sr)
+    t_pr = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        rr, sr = run_pipeline_race()
+        sync(sr)
+        t_pr.append(time.perf_counter() - t0)
+    t_pipeline_race = min(t_pr)
+    race_wins = int(jnp.sum(
+        (sr.status == 0) & (sp.status == 0) & (sr.cost < sp.cost - 1e-6)
+    ))
     frontend_stats = {
         "frontend_searches_per_s": round(BATCH / t_search, 1),
         "frontend_reached": n_reached,
@@ -241,6 +270,10 @@ def main():
         "pipeline_ok_reached": n_ok_reached,
         "pipeline_n_ok": int(jnp.sum(sp.status == 0)),
         "pipeline_search_fraction": round(t_search / t_pipeline, 3),
+        "pipeline_race_solves_per_s": round(
+            BATCH / t_pipeline_race, 1
+        ),
+        "pipeline_race_improved_lanes": race_wins,
     }
 
     # ---- algorithmic presets vs the reference config ----

@@ -1016,6 +1016,56 @@ def solve_kino_batch(
     )
 
 
+def solve_kino_batch_race(
+    dists,
+    origins,
+    resolutions,
+    pos,
+    vel,
+    acc,
+    times,
+    stretches: tuple[float, ...] = (1.0, 1.2),
+    cfg: OptimizerConfig = OptimizerConfig(),
+    steps: tuple[int, ...] = (2,),
+    bos_wp=None,
+) -> Solution:
+    """Batched seed-duration RACE (round 5): refine the same knot
+    states under each duration ``stretch`` and keep the per-lane
+    winner by final cost (converged arms preferred).
+
+    This is the race that closed the beam-vs-hybrid quality gap on the
+    gates (BEAM_VS_EXACT.md: duration is free at seeding —
+    PolyKinoGeneration takes Time as an input, qp_generator.cpp:
+    23-154) lifted to batch scale: each arm is one
+    :func:`solve_kino_batch` dispatch, so a 2-arm race costs ~2x the
+    back-end's 0.7 ms/lane while the search stage is unchanged.
+    """
+    import jax.numpy as _jnp
+
+    times = _jnp.asarray(times, _jnp.float32)
+    best: Solution | None = None
+    for s in stretches:
+        sol = solve_kino_batch(
+            dists, origins, resolutions, pos, vel, acc, times * s,
+            cfg=cfg, steps=steps, record_trace=False, bos_wp=bos_wp,
+        )
+        if best is None:
+            best = sol
+            continue
+        b_ok = best.status == 0
+        s_ok = sol.status == 0
+        take = _jnp.where(
+            b_ok == s_ok, sol.cost < best.cost, s_ok
+        )
+
+        def sel(x, y):
+            t = take.reshape((-1,) + (1,) * (x.ndim - 1))
+            return _jnp.where(t, y, x)
+
+        best = jax.tree.map(sel, best, sol)
+    return best
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "steps", "record_trace")
 )

@@ -964,3 +964,45 @@ def test_solve_kino_batch_kernel_matches_fallback():
     np.testing.assert_array_equal(
         np.asarray(sol_fb.T), np.asarray(sol_k.T)
     )
+
+
+def test_solve_kino_batch_race_picks_per_lane_winner():
+    """Round-5: the batched duration race returns, per lane, the
+    lower-cost converged arm (never worse than the 1.0-stretch arm on
+    converged lanes)."""
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+
+    rng = np.random.default_rng(4)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 3:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    r = kd.search_batch(dists, origins, res, starts, goals,
+                        lookup="gather", max_iters=12, beam=32)
+    p6, v6, a6, t6 = kd.resample_knots_batch(r.pos, r.vel, r.acc,
+                                             r.times, 6)
+    ress = np.full((3,), res, np.float32)
+    cfg = OptimizerConfig(iters_step2=15)
+    base = solve_mod.solve_kino_batch(
+        dists, origins, ress, p6, v6, a6, t6, cfg=cfg, steps=(2,)
+    )
+    raced = solve_mod.solve_kino_batch_race(
+        dists, origins, ress, p6, v6, a6, t6,
+        stretches=(1.0, 1.2), cfg=cfg, steps=(2,),
+    )
+    b_c = np.asarray(base.cost)
+    r_c = np.asarray(raced.cost)
+    ok = (np.asarray(base.status) == 0) & (np.asarray(raced.status) == 0)
+    assert np.all(r_c[ok] <= b_c[ok] + 1e-5)

@@ -38,8 +38,12 @@ from grad_traj_optimization_tpu.solver import (
 
 __version__ = "0.1.0"
 
+from grad_traj_optimization_tpu.pipeline import PlanBatchResult, plan_batch
+
 __all__ = [
     "MapConfig",
+    "PlanBatchResult",
+    "plan_batch",
     "OptimizerConfig",
     "OPTI_NODE_CONFIG",
     "TEXT_INPUT_CONFIG",

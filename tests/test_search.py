@@ -875,3 +875,52 @@ def test_beam_quality_pinned_gate():
     assert n_k >= n_cases - 2 and n_h >= n_cases - 2
     assert gm_k <= 0.97, f"vs-kino refined-cost gm {gm_k:.3f} > 0.97"
     assert gm_h <= 1.12, f"vs-hybrid refined-cost gm {gm_h:.3f} > 1.12"
+
+
+def test_plan_batch_end_to_end():
+    """Round-5 pipeline.plan_batch: one call = adaptive search +
+    Hermite resample + raced refine; ok == reached & converged; the
+    long-tau arm never loses reach."""
+    from grad_traj_optimization_tpu import pipeline
+
+    rng = np.random.default_rng(17)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 4:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    cfg = OptimizerConfig(iters_step2=15)
+    r = pipeline.plan_batch(
+        dists, origins, res, starts, goals, cfg=cfg,
+        beam=32, max_iters=12, retries=1, lookup="gather",
+    )
+    assert r.ok.sum() >= 3
+    assert np.array_equal(
+        r.ok, r.reached & (np.asarray(r.solution.status) == 0)
+    )
+    r2 = pipeline.plan_batch(
+        dists, origins, res, starts, goals, cfg=cfg,
+        beam=32, max_iters=12, retries=1, lookup="gather",
+        long_tau_arm=True,
+    )
+    assert r2.reached.sum() >= r.reached.sum()
+    assert r2.arm is not None and r2.arm.shape == (4,)
+    # raced winners on converged lanes are never worse than the base
+    both = r.ok & r2.ok
+    assert np.all(
+        np.asarray(r2.solution.cost)[both]
+        <= np.asarray(r.solution.cost)[both] + 1e-5
+    )

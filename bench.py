@@ -204,11 +204,27 @@ def main():
     # status == 0).  Refining a truncated seed to "converged" no
     # longer counts (reference status flow kinodynamic_astar.cpp:
     # 278-313: only REACH_END hands a full seed to the optimizer).
-    def run_pipeline():
-        r, n_re, _ = kd.search_batch_adaptive(
+    def run_search_adaptive():
+        return kd.search_batch_adaptive(
             dist, origins_b, res, starts, goals, max_iters=16,
             beam=64, retries=1,
         )
+
+    # the retry-ladder search timed ALONE: this is the pipeline's
+    # actual search stage, so the search fraction below uses it (the
+    # plain single-pass t_search would understate the numerator)
+    ra, _, _ = run_search_adaptive()
+    _ = float(jnp.sum(ra.cost))
+    t_sa = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        r2, _, _ = run_search_adaptive()
+        _ = float(jnp.sum(r2.cost))
+        t_sa.append(time.perf_counter() - t0)
+    t_search_adaptive = min(t_sa)
+
+    def run_pipeline():
+        r, n_re, _ = run_search_adaptive()
         p6, v6, a6, t6 = kd.resample_knots_batch(
             r.pos, r.vel, r.acc, r.times, 6
         )
@@ -268,8 +284,13 @@ def main():
         "pipeline_solves_per_s": round(BATCH / t_pipeline, 1),
         "pipeline_reached": n_reached_retry,
         "pipeline_ok_reached": n_ok_reached,
+        "frontend_adaptive_searches_per_s": round(
+            BATCH / t_search_adaptive, 1
+        ),
         "pipeline_n_ok": int(jnp.sum(sp.status == 0)),
-        "pipeline_search_fraction": round(t_search / t_pipeline, 3),
+        "pipeline_search_fraction": round(
+            t_search_adaptive / t_pipeline, 3
+        ),
         "pipeline_race_solves_per_s": round(
             BATCH / t_pipeline_race, 1
         ),

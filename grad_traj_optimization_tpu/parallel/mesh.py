@@ -170,36 +170,46 @@ def sharded_solve_fused(scenarios, mesh: Mesh, cfg=None, steps=(2,),
 
 @functools.lru_cache(maxsize=None)
 def _sharded_search_runner(mesh: Mesh, resolution: float, shared: bool,
-                           skw):
+                           pred_mode: str, skw):
     """Cached shard_map-wrapped batched beam search (round 5).
 
     Same caching contract as :func:`_sharded_runner` — a fresh closure
     per call would defeat the compilation cache.  ``shared`` replicates
     a leading-dim-1 distance grid instead of splitting it.
+    ``pred_mode``: "none" | "batched" (per-lane prediction leaves,
+    split over data) | "shared" (replicated).  Array-valued inputs are
+    OPERANDS here, never part of the cache key — baking them into the
+    closure would both break hashing and constant-fold them into HLO
+    (the argless-jit / HTTP 413 trap).
     """
     from grad_traj_optimization_tpu.search import kinodynamic as kd
 
     kw = dict(skw)
     dspec = P() if shared else P("data")
+    pspec = {"none": P(), "batched": P("data"), "shared": P()}[pred_mode]
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(dspec, P("data"), P("data"), P("data")),
+        in_specs=(dspec, P("data"), P("data"), P("data"), P("data"),
+                  pspec),
         out_specs=P("data"),
         check_vma=False,
     )
-    def run(dists, origins, starts, goals):
+    def run(dists, origins, starts, goals, start_times, pred):
         return kd.search_batch(
-            dists, origins, resolution, starts, goals, **kw
+            dists, origins, resolution, starts, goals,
+            obstacle_pred=(None if pred_mode == "none" else pred),
+            start_times=start_times, **kw,
         )
 
     return run
 
 
 def sharded_search(dists, origins, resolution, starts, goals,
-                   mesh: Mesh, **kw):
+                   mesh: Mesh, obstacle_pred=None, start_times=None,
+                   **kw):
     """Data-parallel batched beam search over the mesh's "data" axis.
 
     The front-end analogue of :func:`sharded_solve` (the search is
@@ -208,27 +218,57 @@ def sharded_search(dists, origins, resolution, starts, goals,
     sort-payload dedup — on its scenario shard.  A leading-dim-1
     ``dists`` is treated as a SHARED map and replicated to every
     device (each shard then takes search_batch's own shared fast
-    path).  Batch must divide by the data-axis size.
+    path).  ``obstacle_pred``/``start_times`` (the dynamic space-time
+    mode) ride as sharded operands — per-lane prediction leaves split
+    over "data", shared leaves replicate.  Batch must divide by the
+    data-axis size; remaining ``kw`` must be static (hashable) search
+    options.
     """
     import jax.numpy as jnp
 
+    for k, v in kw.items():
+        if not isinstance(v, (int, float, str, bool, type(None))):
+            raise TypeError(
+                f"sharded_search kwarg {k!r} must be a static search "
+                "option; array-valued inputs go through the named "
+                "obstacle_pred/start_times parameters"
+            )
     dists = jnp.asarray(dists)
     starts = jnp.asarray(starts, jnp.float32)
-    shared = bool(dists.shape[0] == 1 and starts.shape[0] > 1)
+    B = starts.shape[0]
+    shared = bool(dists.shape[0] == 1 and B > 1)
     n_data = mesh.shape["data"]
-    if starts.shape[0] % n_data:
+    if B % n_data:
         raise ValueError(
-            f"batch {starts.shape[0]} not divisible by data axis "
-            f"{n_data}"
+            f"batch {B} not divisible by data axis {n_data}"
         )
+    if obstacle_pred is None:
+        pred_mode = "none"
+        pred_in = jnp.zeros((B,), jnp.float32)  # placeholder operand
+        psh = NamedSharding(mesh, P("data"))
+    elif obstacle_pred.poly.ndim == 4:
+        pred_mode = "batched"
+        pred_in = obstacle_pred
+        psh = NamedSharding(mesh, P("data"))
+    else:
+        pred_mode = "shared"
+        pred_in = obstacle_pred
+        psh = NamedSharding(mesh, P())
+    if start_times is None:
+        start_times = jnp.zeros((B,), jnp.float32)
     dsh = NamedSharding(mesh, P() if shared else P("data"))
     lsh = NamedSharding(mesh, P("data"))
     run = _sharded_search_runner(
-        mesh, float(resolution), shared, tuple(sorted(kw.items()))
+        mesh, float(resolution), shared, pred_mode,
+        tuple(sorted(kw.items())),
     )
     return run(
         jax.device_put(dists, dsh),
         jax.device_put(jnp.asarray(origins, jnp.float32), lsh),
         jax.device_put(starts, lsh),
         jax.device_put(jnp.asarray(goals, jnp.float32), lsh),
+        jax.device_put(
+            jnp.asarray(start_times, jnp.float32), lsh
+        ),
+        jax.tree.map(lambda x: jax.device_put(x, psh), pred_in),
     )

@@ -95,9 +95,17 @@ def plan_batch(
     arm = None
     if long_tau_arm and abs(max_tau - 1.0) > 1e-6:
         r1, s1, _ = run_arm(1.0)
-        # per-lane winner: reached arms preferred, then lower cost
-        b_key = jnp.where(r0.reached, 0.0, 1e9) + s0.cost
-        l_key = jnp.where(r1.reached, 0.0, 1e9) + s1.cost
+        # per-lane winner: reached AND finite-cost arms preferred,
+        # then lower cost.  Keys must stay NaN-free — an additive
+        # penalty (1e9 + NaN = NaN) would make every comparison False
+        # and silently keep a broken base arm over a good long-tau one
+        big = jnp.asarray(1e18, s0.cost.dtype)
+        b_key = jnp.where(
+            r0.reached & jnp.isfinite(s0.cost), s0.cost, big
+        )
+        l_key = jnp.where(
+            r1.reached & jnp.isfinite(s1.cost), s1.cost, big
+        )
         take = l_key < b_key
 
         def sel(x, y):

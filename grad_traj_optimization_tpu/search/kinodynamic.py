@@ -795,6 +795,22 @@ def _search_impl(
                 src1
                 + jnp.arange(beam, dtype=src1.dtype)[:, None] * (P * nd)
             )
+
+            def dedup_epilogue(fK, hK, oidx):
+                """Shared pre-cut epilogue for the lex/approx/pp arms:
+                lexsort by (voxel, f) -> first-occurrence dedup mask ->
+                top-k -> source indices.  (The default exact<K> path
+                uses the gather-free sort-payload formulation instead.)
+                """
+                order2 = jnp.lexsort((fK, hK))
+                hs2 = hK[order2]
+                first2 = jnp.concatenate(
+                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
+                )
+                f_dd = jnp.where(first2, fK[order2], big)
+                _, sel2 = jax.lax.top_k(-f_dd, beam)
+                return oidx[order2[sel2]]
+
             if dedup.startswith("exact"):
                 # stage 2 (round-5 sort-payload form): with duplication
                 # <= beam, every voxel-winner that can reach the final
@@ -832,14 +848,7 @@ def _search_impl(
                 fK = -negf
                 oidx = gidx1.reshape(N)[pre]
                 hK = vox_key(cand.reshape(N, 6)[oidx, :3])
-                order2 = jnp.lexsort((fK, hK))
-                hs2 = hK[order2]
-                first2 = jnp.concatenate(
-                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
-                )
-                f_dd = jnp.where(first2, fK[order2], big)
-                _, sel2 = jax.lax.top_k(-f_dd, beam)
-                idx = oidx[order2[sel2]]
+                idx = dedup_epilogue(fK, hK, oidx)
             elif dedup.startswith("approx"):
                 # "approx<K>" (round 5): exact512's global pre-cut,
                 # but via lax.approx_max_k — the TPU PartialReduce
@@ -857,14 +866,7 @@ def _search_impl(
                 fK = -negf
                 oidx = gidx1.reshape(N)[pre]
                 hK = vox_key(cand.reshape(N, 6)[oidx, :3])
-                order2 = jnp.lexsort((fK, hK))
-                hs2 = hK[order2]
-                first2 = jnp.concatenate(
-                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
-                )
-                f_dd = jnp.where(first2, fK[order2], big)
-                _, sel2 = jax.lax.top_k(-f_dd, beam)
-                idx = oidx[order2[sel2]]
+                idx = dedup_epilogue(fK, hK, oidx)
             elif dedup.startswith("pp"):
                 # "pp<K>" (round 5): PER-PARENT top-K pre-cut.  The
                 # global top_k(N) above lowers as a FULL 16k sort on
@@ -888,14 +890,7 @@ def _search_impl(
                 oidx = jnp.take_along_axis(
                     gidx1, ppos, axis=-1
                 ).reshape(-1)
-                order2 = jnp.lexsort((fK, hK))
-                hs2 = hK[order2]
-                first2 = jnp.concatenate(
-                    [jnp.ones(1, bool), hs2[1:] != hs2[:-1]]
-                )
-                f_dd = jnp.where(first2, fK[order2], big)
-                _, sel2 = jax.lax.top_k(-f_dd, beam)
-                idx = oidx[order2[sel2]]
+                idx = dedup_epilogue(fK, hK, oidx)
             else:
                 # "parent": stop after the within-parent dedup.
                 # Chip-measured 1.4x the "exact" batch rate (68/s vs

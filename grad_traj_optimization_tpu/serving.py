@@ -213,6 +213,17 @@ class SolveServer:
         import jax
         import jax.numpy as jnp
 
+        # the single-buffer pack round-trips every leaf through f32;
+        # that is EXACT only for f32 leaves and integers < 2^24 —
+        # whitelist the dtypes so a future wider/int64 Solution leaf
+        # fails loudly here instead of silently corrupting results
+        for _shape, dt in shapes_dtypes:
+            if dt not in ("float32", "int32", "bool"):
+                raise TypeError(
+                    f"packed download cannot represent dtype {dt}; "
+                    "extend _packer with a second buffer for it"
+                )
+
         def pack(*leaves):
             return jnp.concatenate(
                 [jnp.ravel(x).astype(jnp.float32) for x in leaves]

@@ -1000,7 +1000,7 @@ def solve_kino_batch(
     if cfg.lookup_mode == "auto" and jax.default_backend() == "tpu":
         from grad_traj_optimization_tpu.ops import solve_pallas as sk
 
-        scn = _maybe_autocrop(scn, cfg)
+        scn = _maybe_autocrop(scn, cfg, bos_wp=bos_wp)
         if sk.supports(
             scn.dist.shape[1:], m * cfg.n_samples, 3 * m - 3, cfg
         ):

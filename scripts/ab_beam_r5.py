@@ -37,33 +37,9 @@ def main():
     from grad_traj_optimization_tpu.search import kinodynamic as kd
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    map_cfg, pts, valid, wps = fixtures.random_scenarios(
-        B, n_waypoints=7, seed=42, max_obstacle_points=4096
-    )
-    grid = map_cfg.grid_shape
-    origin = jnp.asarray(map_cfg.origin, jnp.float32)
-    res = map_cfg.resolution
-
-    @jax.jit
-    def build_fields(pts, valid):
-        occ = jax.vmap(
-            lambda p, v: sdf.rasterize(p, origin, res, grid, valid_mask=v)
-        )(pts.astype(jnp.float32), valid)
-        return sdf.edt_batch(occ, res)
-
-    pts_d = jax.device_put(jnp.asarray(pts, jnp.float32))
-    valid_d = jax.device_put(jnp.asarray(valid))
-    dist = build_fields(pts_d, valid_d)
-    _ = float(dist[0, 0, 0, 0])
-    print(f"# fields built, B={B}", flush=True)
-
-    starts = np.concatenate(
-        [np.asarray(wps)[:, 0], np.zeros((B, 3))], axis=1
-    ).astype(np.float32)
-    goals = np.concatenate(
-        [np.asarray(wps)[:, -1], np.zeros((B, 3))], axis=1
-    ).astype(np.float32)
-    origins_b = np.broadcast_to(np.asarray(origin), (B, 3))
+    from _bench_common import build_bench_batch
+    dist, origins_b, res, starts, goals, wps = build_bench_batch(B)
+    _ = wps  # noqa: F841
 
     def measure(name, reps=3, **kw):
         def run():

@@ -235,3 +235,61 @@ def test_sharded_search_matches_local():
                              **kw)
     for a, b in zip(r_sh2, r_loc2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_search_dynamic_matches_local():
+    """Round-5: sharded_search with obstacle_pred/start_times operands
+    (batched prediction leaves split over data) == local batch."""
+    from grad_traj_optimization_tpu import fixtures
+    from grad_traj_optimization_tpu.parallel import mesh as pmesh
+    from grad_traj_optimization_tpu.search import kinodynamic as kd
+    from grad_traj_optimization_tpu.search import predictor
+
+    rng = np.random.default_rng(6)
+    cases = []
+    while len(cases) < 8:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    B = 8
+    hist = np.tile(
+        np.array([[[0.0, 0.0, 1.5], [0.2, 0.0, 1.5]]], np.float32),
+        (B, 1, 1, 1),
+    )
+    hist_t = np.broadcast_to(
+        np.array([[-0.5, 0.0]], np.float32), (B, 1, 2)
+    )
+    scale = np.full((B, 1, 3), 0.8, np.float32)
+    pred_b = jax.vmap(predictor.fit_const_vel)(
+        jnp.asarray(hist), jnp.asarray(hist_t), jnp.asarray(scale)
+    )
+    t0s = np.linspace(0.0, 0.7, B).astype(np.float32)
+    m = pmesh.make_mesh()
+    kw = dict(max_iters=10, beam=16, lookup="gather")
+    r_sh = pmesh.sharded_search(
+        dists, origins, res, starts, goals, m, obstacle_pred=pred_b,
+        start_times=t0s, **kw,
+    )
+    r_loc = kd.search_batch(
+        dists, origins, res, starts, goals, obstacle_pred=pred_b,
+        start_times=t0s, **kw,
+    )
+    for a, b in zip(r_sh, r_loc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # array-valued static kwargs are rejected with a clear error
+    import pytest
+
+    with pytest.raises(TypeError, match="static"):
+        pmesh.sharded_search(
+            dists, origins, res, starts, goals, m,
+            bad_arg=np.zeros(8), **kw,
+        )

@@ -693,21 +693,28 @@ def test_search_batch_adaptive_merges_retries():
     # a starved base budget forces failures; the ladder must recover
     base = kinodynamic.search_batch(
         dists, origins, res, starts, goals, lookup="gather",
-        beam=8, max_iters=4,
+        beam=2, max_iters=3,
     )
     merged, n_retried, used = kinodynamic.search_batch_adaptive(
         dists, origins, res, starts, goals, lookup="gather",
-        beam=8, max_iters=4, retries=2, widen=4.0, deepen=3.0,
+        beam=2, max_iters=3, retries=2, widen=4.0, deepen=3.0,
     )
     base_reached = np.asarray(base.reached)
     merged_reached = np.asarray(merged.reached)
     assert merged_reached.sum() >= base_reached.sum()
-    if not base_reached.all():
-        assert n_retried > 0 and used >= 1
-    # untouched lanes keep base results bitwise
+    # the starved budget must actually exercise the retry path (a
+    # fixture where the base reaches 4/4 would make this test vacuous)
+    assert not base_reached.all(), "fixture too easy — no retry fired"
+    assert n_retried > 0 and used >= 1
+    # untouched lanes keep base results bitwise — modulo the knot-axis
+    # FRONT-PADDING the merge applies when a deeper rung returns more
+    # knots (zero-duration dupes of the first knot; compare suffixes)
     for i in np.where(base_reached)[0]:
         for a, b in zip(base, merged):
-            assert np.array_equal(np.asarray(a)[i], np.asarray(b)[i])
+            a_i, b_i = np.asarray(a)[i], np.asarray(b)[i]
+            if a_i.ndim >= 1 and a_i.shape != b_i.shape:
+                b_i = b_i[b_i.shape[0] - a_i.shape[0]:]
+            assert np.array_equal(a_i, b_i)
 
 
 def test_fast_heuristic_matches_exact():

@@ -931,3 +931,29 @@ def test_plan_batch_end_to_end():
         np.asarray(r2.solution.cost)[both]
         <= np.asarray(r.solution.cost)[both] + 1e-5
     )
+
+
+def test_sort_payload_dedup_matches_legacy_bitwise():
+    """Round-5: the sort-payload exact<K> dedup (variadic stable
+    lax.sort carries) selects IDENTICAL beams to the legacy
+    lexsort+gather formulation (kept as dedup='lex<K>') — full-result
+    bitwise equality on fixture cases."""
+    rng = np.random.default_rng(3)
+    from grad_traj_optimization_tpu import fixtures
+
+    n_checked = 0
+    while n_checked < 3:
+        c = fixtures.random_search_case(rng)
+        if c is None:
+            continue
+        dist, origin, res, s, g = c[:5]
+        s6 = np.concatenate([s, np.zeros(3)]).astype(np.float32)
+        g6 = np.concatenate([g, np.zeros(3)]).astype(np.float32)
+        kws = dict(max_iters=12, beam=32)
+        r_new = kinodynamic.search(dist, jnp.asarray(origin), res, s6,
+                                   g6, dedup="exact512", **kws)
+        r_old = kinodynamic.search(dist, jnp.asarray(origin), res, s6,
+                                   g6, dedup="lex512", **kws)
+        for a, b in zip(r_new, r_old):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        n_checked += 1

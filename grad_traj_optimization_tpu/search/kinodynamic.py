@@ -502,6 +502,20 @@ def search(
     ``box_cells``: static box half-width override (required when
     ``resolution`` is traced, e.g. under an outer vmap).
 
+    ``dedup``: beam-selection voxel dedup formulation.  The default
+    "exact512" runs the round-5 SORT-PAYLOAD form (variadic stable
+    lax.sort carrying f-values + source indices, static slices — the
+    chip-measured 703 searches/s path) with a 512 pre-cut; "exact" =
+    the provable beam^2 pre-cut (~6% slower); "lex<K>" = the legacy
+    lexsort+gather formulation (bitwise-identical selections, ~6.5x
+    slower — kept for the A/B record and the CI equivalence test);
+    "approx<K>" (lax.approx_max_k pre-cut) and "pp<K>" (per-parent
+    top-K) are measured non-winners; "parent" skips the global stage
+    (fastest, reach regression on crowded corridors).
+
+    ``heu``: "exact" (reference transcendental quartic) or "fast"
+    (polynomial cos(arccos/3) + bit-trick cbrt, ~1e-6 root movement,
+    gate-verified; measured +0.6% — opt-in).
     """
     if lookup == "auto":
         lookup = "box" if jax.default_backend() == "tpu" else "gather"

@@ -39,6 +39,7 @@ class PlanBatchResult:
     ok: np.ndarray                 # (B,) reached AND refine converged
     n_retried: int                 # lanes re-searched by the ladder
     arm: np.ndarray | None         # (B,) 0 = base beam, 1 = long-tau
+    n_host_fallback: int = 0       # lanes recovered by the exact A*
 
 
 def plan_batch(
@@ -57,6 +58,7 @@ def plan_batch(
     stretches: tuple[float, ...] = (1.0, 1.2),
     long_tau_arm: bool = False,
     max_tau: float = 0.5,
+    host_fallback: bool = False,
     **search_kw,
 ) -> PlanBatchResult:
     """Plan a batch of missions end to end on device.
@@ -122,8 +124,75 @@ def plan_batch(
         arm = np.asarray(take).astype(np.int32)
 
     reached = np.asarray(r0.reached)
+    n_host = 0
+    if host_fallback and not reached.all():
+        # final rung of the production ladder (the harness/replan
+        # via_fallback pattern, kinodynamic_astar.cpp:17-315 exact
+        # algorithm): run the native host A* on each still-unreached
+        # lane, refine the recovered seeds as one bucketed batch, and
+        # scatter them back
+        from grad_traj_optimization_tpu import native, replan
+
+        if native.available():
+            idx = np.where(~reached)[0]
+            dist_host = np.asarray(dists)
+            shared = dist_host.shape[0] == 1
+            ob = np.asarray(origins_b, np.float32)
+            K = int(np.asarray(r0.pos).shape[1])
+            rec_i, rec_knots = [], []
+            for i in idx:
+                d_i = dist_host[0] if shared else dist_host[i]
+                fpos, fvel, facc, ftimes, f_ok = native.kino_search(
+                    d_i.astype(np.float32), ob[i], float(resolution),
+                    np.asarray(starts)[i].astype(np.float64),
+                    np.asarray(goals)[i].astype(np.float64),
+                    max_tau=max_tau,
+                    **{k: v for k, v in search_kw.items()
+                       if k in ("max_acc", "max_vel", "w_time",
+                                "lambda_heu", "margin")},
+                )
+                if f_ok and len(ftimes) >= 1:
+                    rec_i.append(i)
+                    rec_knots.append(replan._pad_knots_fixed(
+                        fpos, fvel, facc, ftimes, k_to=K
+                    ))
+            if rec_i:
+                n_host = len(rec_i)
+                sel = np.asarray(rec_i)
+                kp = np.stack([k[0] for k in rec_knots]).astype(
+                    np.float32
+                )
+                kv = np.stack([k[1] for k in rec_knots]).astype(
+                    np.float32
+                )
+                ka = np.stack([k[2] for k in rec_knots]).astype(
+                    np.float32
+                )
+                kt = np.stack([k[3] for k in rec_knots]).astype(
+                    np.float32
+                )
+                p, v, a, t = kinodynamic.resample_knots_batch(
+                    kp, kv, ka, kt, n_waypoints
+                )
+                s_f = solve_mod.solve_kino_batch_race(
+                    dists if shared else dists[sel], origins_b[sel],
+                    ress[sel], p, v, a, t, stretches=stretches,
+                    cfg=cfg,
+                )
+                s0 = solve_mod.Solution(*(
+                    o.at[sel].set(n) for o, n in zip(s0, s_f)
+                ))
+                r0 = kinodynamic.KinoResult(
+                    pos=r0.pos.at[sel].set(kp),
+                    vel=r0.vel.at[sel].set(kv),
+                    acc=r0.acc.at[sel].set(ka),
+                    times=r0.times.at[sel].set(kt),
+                    reached=r0.reached.at[sel].set(True),
+                    cost=r0.cost,
+                )
+                reached = np.asarray(r0.reached)
     ok = reached & (np.asarray(s0.status) == 0)
     return PlanBatchResult(
         solution=s0, search=r0, reached=reached, ok=ok,
-        n_retried=int(n_re), arm=arm,
+        n_retried=int(n_re), arm=arm, n_host_fallback=n_host,
     )

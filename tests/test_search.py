@@ -957,3 +957,51 @@ def test_sort_payload_dedup_matches_legacy_bitwise():
         for a, b in zip(r_new, r_old):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         n_checked += 1
+
+
+def test_plan_batch_host_fallback_recovers():
+    """Round-5: plan_batch(host_fallback=True) recovers lanes the
+    starved beam misses via the exact native A* and refines them."""
+    from grad_traj_optimization_tpu import native, pipeline
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(5)
+    from grad_traj_optimization_tpu import fixtures
+
+    cases = []
+    while len(cases) < 4:
+        c = fixtures.random_search_case(rng)
+        if c is not None:
+            cases.append(c)
+    dists = np.stack([c[0] for c in cases])
+    origins = np.stack([c[1] for c in cases]).astype(np.float32)
+    res = cases[0][2]
+    starts = np.stack(
+        [np.concatenate([c[3], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    goals = np.stack(
+        [np.concatenate([c[4], np.zeros(3)]) for c in cases]
+    ).astype(np.float32)
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    cfg = OptimizerConfig(iters_step2=10)
+    kw = dict(beam=2, max_iters=3, retries=0, lookup="gather",
+              stretches=(1.0,), cfg=cfg)
+    base = pipeline.plan_batch(
+        dists, origins, res, starts, goals, **kw
+    )
+    assert not base.reached.all(), "fixture too easy for the probe"
+    fb = pipeline.plan_batch(
+        dists, origins, res, starts, goals, host_fallback=True, **kw
+    )
+    assert fb.n_host_fallback >= 1
+    assert fb.reached.sum() > base.reached.sum()
+    assert fb.ok.sum() >= fb.reached.sum() - 1  # recovered lanes refine
+    # recovered search branches end at their goals
+    for i in np.where(fb.reached & ~base.reached)[0]:
+        np.testing.assert_allclose(
+            np.asarray(fb.search.pos)[i, -1], goals[i, :3], atol=1e-4
+        )

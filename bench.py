@@ -274,6 +274,30 @@ def main():
     race_wins = int(jnp.sum(
         (sr.status == 0) & (sp.status == 0) & (sr.cost < sp.cost - 1e-6)
     ))
+
+    # the COMPLETE production ladder (plan_batch): batched retries +
+    # raced refine + exact host-A* fallback over the last unreached
+    # lanes — the 100%-success configuration
+    from grad_traj_optimization_tpu import pipeline as _pipeline
+
+    def run_ladder():
+        return _pipeline.plan_batch(
+            dist, origins_b, res, starts, goals, cfg=cfg, beam=64,
+            max_iters=16, retries=1, host_fallback=True,
+        )
+
+    rl = run_ladder()
+    t_lad = []
+    for _i in range(2):
+        t0 = time.perf_counter()
+        r2 = run_ladder()
+        _ = float(jnp.sum(r2.solution.cost))
+        t_lad.append(time.perf_counter() - t0)
+    ladder_stats = {
+        "pipeline_ladder_plans_per_s": round(BATCH / min(t_lad), 1),
+        "pipeline_ladder_ok": int(rl.ok.sum()),
+        "pipeline_ladder_host_recovered": int(rl.n_host_fallback),
+    }
     frontend_stats = {
         "frontend_searches_per_s": round(BATCH / t_search, 1),
         "frontend_reached": n_reached,
@@ -295,6 +319,7 @@ def main():
             BATCH / t_pipeline_race, 1
         ),
         "pipeline_race_improved_lanes": race_wins,
+        **ladder_stats,
     }
 
     # ---- algorithmic presets vs the reference config ----

@@ -256,20 +256,43 @@ class SolveServer:
             b *= 2
         return min(b, self.max_batch)
 
+    def _bucket_groups(self, n: int) -> list[int]:
+        """Decompose a batch into pow2 bucket sizes (round 5).
+
+        A single pow2 bucket pads up to ~50% dead lanes (a 720-lane
+        batch solves as 1024 — chip-measured as most of the residual
+        serving-vs-direct solve gap).  Greedy decomposition into
+        descending pow2 groups with a 128-lane floor (720 -> 512 +
+        128 + 128, pad 6.7%) trades <= 2 extra dispatches — which
+        queue asynchronously on device — for the dead-lane work.
+        Sizes above the floor still reuse the same O(log max_batch)
+        compiled programs.
+        """
+        if not self.pad_buckets:
+            return [n]
+        floor = min(128, self.max_batch)
+        if n <= floor:
+            return [self._bucket(n)]
+        groups, rem = [], n
+        while rem > 0:
+            b = self._bucket(rem)
+            if b > rem and b > floor:
+                groups.append(b // 2)
+                rem -= b // 2
+            else:
+                groups.append(max(b, floor))
+                rem -= b
+        return groups
+
     def _dispatch(self, batch):
         t_dispatch = time.perf_counter()
         scns = [b[0] for b in batch]
         futs = [b[1] for b in batch]
         n = len(scns)
-        target = self._bucket(n)
-        pads = target - n
-        # pad by replicating the last scenario; pad lanes are dropped
-        stacked = scns + [scns[-1]] * pads
+        groups = self._bucket_groups(n)
+        pads = sum(groups) - n
         try:
-            # shared-map fast path: every request references the SAME
-            # field array -> one grid block in the kernel
-            first = stacked[0].dist
-            shared = all(s.dist is first for s in stacked)
+            import jax
             import jax.numpy as jnp
 
             def stack(leaves):
@@ -287,33 +310,46 @@ class SolveServer:
                     return jnp.asarray(np.stack(leaves))
                 return jnp.stack([jnp.asarray(x) for x in leaves])
 
-            dist = (
-                first[None] if shared else stack([s.dist for s in stacked])
-            )
-            scn_b = solve_mod.Scenario(
-                dist=dist,
-                origin=stack([s.origin for s in stacked]),
-                resolution=stack([s.resolution for s in stacked]),
-                waypoints=stack([s.waypoints for s in stacked]),
-            )
+            # assemble + dispatch every group first (async on device),
+            # then barrier + download — the groups pipeline
+            sols = []
+            ofs = 0
+            for g in groups:
+                sub = scns[ofs:ofs + g]
+                ofs += min(g, n - ofs)
+                sub = sub + [scns[-1]] * (g - len(sub))
+                # shared-map fast path: every request references the
+                # SAME field array -> one grid block in the kernel
+                first = sub[0].dist
+                shared = all(s.dist is first for s in sub)
+                dist = (
+                    first[None] if shared
+                    else stack([s.dist for s in sub])
+                )
+                scn_b = solve_mod.Scenario(
+                    dist=dist,
+                    origin=stack([s.origin for s in sub]),
+                    resolution=stack([s.resolution for s in sub]),
+                    waypoints=stack([s.waypoints for s in sub]),
+                )
+                sols.append(solve_mod.solve_batch(
+                    scn_b, cfg=self.cfg, steps=self.steps,
+                    record_trace=False,
+                ))
             t_assembled = time.perf_counter()
-            sol = solve_mod.solve_batch(
-                scn_b, cfg=self.cfg, steps=self.steps, record_trace=False
-            )
             # device-time barrier: one scalar host read (the tunnel
             # under-synchronizes block_until_ready) — splits solve time
             # from the result download in the stats
-            _ = float(sol.status[0])
+            _ = float(sols[-1].status[0])
             t_solved = time.perf_counter()
-            # pull the WHOLE batched Solution in ONE device->host
-            # transfer: per-leaf np.asarray costs one tunnel RTT per
-            # leaf (7 sequential round-trips/batch — measured as most
-            # of the round-4 serving device-time gap); packing the
-            # leaves into one flat f32 buffer on device and splitting
-            # on host pays a single RTT
-            import jax
-
-            host = self._download_packed(sol)
+            # pull each group's Solution in ONE device->host transfer:
+            # per-leaf np.asarray costs one tunnel RTT per leaf (7
+            # sequential round-trips/batch — measured as most of the
+            # round-4 serving device-time gap)
+            hosts = [self._download_packed(s) for s in sols]
+            host = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *hosts
+            )
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for f in futs:
                 _safe_resolve(f, exception=e)

@@ -1005,3 +1005,34 @@ def test_plan_batch_host_fallback_recovers():
         np.testing.assert_allclose(
             np.asarray(fb.search.pos)[i, -1], goals[i, :3], atol=1e-4
         )
+
+
+def test_plan_batch_degenerate_cases():
+    """plan_batch edge cases: B=1, and a start placed at the goal."""
+    from grad_traj_optimization_tpu import pipeline
+    from grad_traj_optimization_tpu.config import OptimizerConfig
+
+    rng = np.random.default_rng(19)
+    from grad_traj_optimization_tpu import fixtures
+
+    c = None
+    while c is None:
+        c = fixtures.random_search_case(rng)
+    dist, origin, res, s, g = c[:5]
+    cfg = OptimizerConfig(iters_step2=8)
+    # B=1
+    r = pipeline.plan_batch(
+        dist[None], origin[None].astype(np.float32), res,
+        np.concatenate([s, np.zeros(3)])[None].astype(np.float32),
+        np.concatenate([g, np.zeros(3)])[None].astype(np.float32),
+        cfg=cfg, beam=16, max_iters=10, retries=1, lookup="gather",
+    )
+    assert r.reached.shape == (1,)
+    # start == goal: must not crash; the shot connects immediately
+    r2 = pipeline.plan_batch(
+        dist[None], origin[None].astype(np.float32), res,
+        np.concatenate([s, np.zeros(3)])[None].astype(np.float32),
+        np.concatenate([s, np.zeros(3)])[None].astype(np.float32),
+        cfg=cfg, beam=16, max_iters=10, retries=0, lookup="gather",
+    )
+    assert r2.reached.shape == (1,)

@@ -125,7 +125,12 @@ def plan_batch(
 
     reached = np.asarray(r0.reached)
     n_host = 0
-    if host_fallback and not reached.all():
+    # the exact host A* validates against the STATIC field only —
+    # with moving obstacles in play a "recovered" plan could cross a
+    # predicted box's swept volume while reporting ok, so the rung is
+    # skipped in dynamic mode (same caveat as replan's fallback_exact,
+    # which re-checks dynamic clearance each tick)
+    if host_fallback and obstacle_pred is None and not reached.all():
         # final rung of the production ladder (the harness/replan
         # via_fallback pattern, kinodynamic_astar.cpp:17-315 exact
         # algorithm): run the native host A* on each still-unreached
@@ -135,17 +140,25 @@ def plan_batch(
 
         if native.available():
             idx = np.where(~reached)[0]
-            dist_host = np.asarray(dists)
-            shared = dist_host.shape[0] == 1
+            shared = dists.shape[0] == 1
+            # one device->host transfer of ONLY the needed lanes (the
+            # tunnel RTT per transfer is the measured replan/serving
+            # killer; downloading all B grids for ~30 lanes would move
+            # ~1 GB for ~30 MB of reads)
+            dist_host = np.asarray(
+                dists[0] if shared else dists[jnp.asarray(idx)]
+            )
             ob = np.asarray(origins_b, np.float32)
+            s_host = np.asarray(starts)
+            g_host = np.asarray(goals)
             K = int(np.asarray(r0.pos).shape[1])
             rec_i, rec_knots = [], []
-            for i in idx:
-                d_i = dist_host[0] if shared else dist_host[i]
+            for j, i in enumerate(idx):
+                d_i = dist_host if shared else dist_host[j]
                 fpos, fvel, facc, ftimes, f_ok = native.kino_search(
                     d_i.astype(np.float32), ob[i], float(resolution),
-                    np.asarray(starts)[i].astype(np.float64),
-                    np.asarray(goals)[i].astype(np.float64),
+                    s_host[i].astype(np.float64),
+                    g_host[i].astype(np.float64),
                     max_tau=max_tau,
                     **{k: v for k, v in search_kw.items()
                        if k in ("max_acc", "max_vel", "w_time",
@@ -188,7 +201,10 @@ def plan_batch(
                     acc=r0.acc.at[sel].set(ka),
                     times=r0.times.at[sel].set(kt),
                     reached=r0.reached.at[sel].set(True),
-                    cost=r0.cost,
+                    # the failed beam's g-score does not describe the
+                    # scattered-in native branch; inf marks it "not
+                    # comparable" without poisoning argmin consumers
+                    cost=r0.cost.at[sel].set(jnp.inf),
                 )
                 reached = np.asarray(r0.reached)
     ok = reached & (np.asarray(s0.status) == 0)

@@ -126,12 +126,14 @@ class SolveServer:
         max_batch: int = 256,
         max_wait_ms: float = 5.0,
         pad_buckets: bool = True,
+        bucket_floor: int = 128,
     ):
         self.cfg = cfg
         self.steps = tuple(steps)
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.pad_buckets = bool(pad_buckets)
+        self.bucket_floor = int(bucket_floor)
         self.stats = ServerStats()
         self._contract = None  # (grid_shape, n_wp) fixed by first submit
         self._queue: list = []
@@ -231,22 +233,43 @@ class SolveServer:
 
         return jax.jit(pack)
 
-    def _download_packed(self, sol):
-        """Download a batched Solution in ONE transfer (see _dispatch)."""
+    def _download_packed_multi(self, sols):
+        """Download several batched Solutions in ONE device->host
+        transfer: each packs to a flat f32 buffer on device, the
+        buffers concatenate there, and the single host copy splits
+        back — bucket-group decomposition must not reintroduce the
+        one-RTT-per-group pattern the round-4 packing removed."""
         import jax
+        import jax.numpy as jnp
 
-        leaves, treedef = jax.tree.flatten(sol)
-        shapes_dtypes = tuple((tuple(x.shape), str(x.dtype)) for x in leaves)
-        packed = self._packer(treedef, shapes_dtypes)(*leaves)
-        flat = np.asarray(packed)  # the single device->host transfer
-        out, off = [], 0
-        for (shape, dtype), leaf in zip(shapes_dtypes, leaves):
-            n = int(np.prod(shape)) if shape else 1
-            out.append(
-                flat[off:off + n].reshape(shape).astype(dtype)
+        packed, metas = [], []
+        for sol in sols:
+            leaves, treedef = jax.tree.flatten(sol)
+            sd = tuple(
+                (tuple(x.shape), str(x.dtype)) for x in leaves
             )
-            off += n
-        return jax.tree.unflatten(treedef, out)
+            packed.append(self._packer(treedef, sd)(*leaves))
+            metas.append((treedef, sd, int(packed[-1].shape[0])))
+        flat = np.asarray(
+            jnp.concatenate(packed) if len(packed) > 1 else packed[0]
+        )  # the single device->host transfer
+        outs, off = [], 0
+        for treedef, sd, ln in metas:
+            seg = flat[off:off + ln]
+            off += ln
+            leaves_out, o2 = [], 0
+            for shape, dtype in sd:
+                n = int(np.prod(shape)) if shape else 1
+                leaves_out.append(
+                    seg[o2:o2 + n].reshape(shape).astype(dtype)
+                )
+                o2 += n
+            outs.append(jax.tree.unflatten(treedef, leaves_out))
+        return outs
+
+    def _download_packed(self, sol):
+        """Download a batched Solution in ONE transfer."""
+        return self._download_packed_multi([sol])[0]
 
     def _bucket(self, n: int) -> int:
         if not self.pad_buckets:
@@ -262,17 +285,20 @@ class SolveServer:
         A single pow2 bucket pads up to ~50% dead lanes (a 720-lane
         batch solves as 1024 — chip-measured as most of the residual
         serving-vs-direct solve gap).  Greedy decomposition into
-        descending pow2 groups with a 128-lane floor (720 -> 512 +
-        128 + 128, pad 6.7%) trades <= 2 extra dispatches — which
-        queue asynchronously on device — for the dead-lane work.
-        Sizes above the floor still reuse the same O(log max_batch)
-        compiled programs.
+        descending pow2 groups with a ``bucket_floor`` floor (720 ->
+        512 + 128 + 128, pad 6.7%) trades a few extra dispatches —
+        which queue asynchronously on device — for the dead-lane
+        work.  When the decomposition saves no padding over the
+        single covering bucket (e.g. n = 1000 -> groups totaling
+        1024), the single bucket wins (fewer launches).  Sizes above
+        the floor reuse the same O(log max_batch) compiled programs.
         """
         if not self.pad_buckets:
             return [n]
-        floor = min(128, self.max_batch)
-        if n <= floor:
-            return [self._bucket(n)]
+        floor = min(self.bucket_floor, self.max_batch)
+        single = self._bucket(n)
+        if n <= floor or n > self.max_batch - floor // 2:
+            return [single]
         groups, rem = [], n
         while rem > 0:
             b = self._bucket(rem)
@@ -282,6 +308,8 @@ class SolveServer:
             else:
                 groups.append(max(b, floor))
                 rem -= b
+        if sum(groups) >= single:
+            return [single]  # no padding saved -> one launch
         return groups
 
     def _dispatch(self, batch):
@@ -346,9 +374,12 @@ class SolveServer:
             # per-leaf np.asarray costs one tunnel RTT per leaf (7
             # sequential round-trips/batch — measured as most of the
             # round-4 serving device-time gap)
-            hosts = [self._download_packed(s) for s in sols]
-            host = jax.tree.map(
-                lambda *xs: np.concatenate(xs, axis=0), *hosts
+            hosts = self._download_packed_multi(sols)
+            host = (
+                hosts[0] if len(hosts) == 1
+                else jax.tree.map(
+                    lambda *xs: np.concatenate(xs, axis=0), *hosts
+                )
             )
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for f in futs:

@@ -1029,11 +1029,12 @@ def test_solve_server_bucket_decomposition():
             waypoints=jnp.asarray(w, jnp.float32),
         ))
 
-    server = serving.SolveServer(cfg=cfg, max_batch=8, max_wait_ms=100.0)
-    # force multi-group decomposition: floor = min(128, max_batch) = 8,
-    # n=6 <= 8 single group; use a tiny floor via monkeypatched
-    # _bucket_groups behavior by lowering max_batch
-    server.max_batch = 4  # 6 -> [4, 2] (floor min(128,4)=4 -> [4, 4])
+    # bucket_floor=2 makes n=6 decompose as [4, 2] (vs the single
+    # 8-bucket, pad 2) and the 6 queued requests drain as ONE dispatch
+    # (max_batch=8) — so the multi-group lane routing in _dispatch
+    # (offsets, per-group pads, concatenated download) is what runs
+    server = serving.SolveServer(cfg=cfg, max_batch=8,
+                                 max_wait_ms=100.0, bucket_floor=2)
     groups = server._bucket_groups(6)
     assert len(groups) >= 2 and sum(groups) >= 6
     futs = [server.submit(s) for s in scns]

@@ -405,3 +405,148 @@ class SolveServer:
             for _, _, t0 in batch:
                 self.stats.wait_ms.append((t_dispatch - t0) * 1e3)
                 self.stats.total_ms.append((t_done - t0) * 1e3)
+
+
+class MissionServer:
+    """Micro-batching FULL-MISSION server: search + refine per request.
+
+    The mission analogue of :class:`SolveServer` (the reference's
+    actual online surface is one full mission per callback —
+    compare2.cpp:129-177 start/goal handshake -> search -> optimize):
+    requests are (start, goal) states against ONE shared distance
+    field; the dispatch thread drains them into pow2-bucketed batches
+    of :func:`pipeline.plan_batch` (adaptive retry-ladder search,
+    raced refine, optional exact host-A* fallback rung).
+
+    Each Future resolves to a dict with the lane's ``solution``
+    (Solution, batch axis stripped), ``reached`` and ``ok`` flags.
+    """
+
+    def __init__(
+        self,
+        dist,
+        origin,
+        resolution: float,
+        cfg: OptimizerConfig = OptimizerConfig(),
+        max_batch: int = 256,
+        max_wait_ms: float = 5.0,
+        host_fallback: bool = False,
+        **plan_kw,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.dist = jax.device_put(jnp.asarray(dist))
+        if self.dist.ndim == 3:
+            self.dist = self.dist[None]
+        self.origin = np.asarray(origin, np.float32)
+        self.resolution = float(resolution)
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.host_fallback = bool(host_fallback)
+        self.plan_kw = plan_kw
+        self.stats = ServerStats()
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, start_state, goal_state) -> Future:
+        """Enqueue one mission ((6,) start / goal = [p, v])."""
+        s = np.asarray(start_state, np.float32).reshape(6)
+        g = np.asarray(goal_state, np.float32).reshape(6)
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._queue.append((s, g, fut, time.perf_counter()))
+            self._cv.notify()
+        return fut
+
+    def shutdown(self, wait: bool = True):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        if wait:
+            self._worker.join()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                t_oldest = self._queue[0][3]
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = (
+                        self.max_wait_ms / 1e3
+                        - (time.perf_counter() - t_oldest)
+                    )
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — keep the worker alive
+                for _, _, f, _ in batch:
+                    _safe_resolve(f, exception=e)
+
+    def _dispatch(self, batch):
+        import jax
+
+        from grad_traj_optimization_tpu import pipeline
+
+        t_dispatch = time.perf_counter()
+        n = len(batch)
+        target = n
+        b = 1
+        while b < n:
+            b *= 2
+        target = min(b, self.max_batch)
+        pads = target - n
+        starts = np.stack(
+            [x[0] for x in batch] + [batch[-1][0]] * pads
+        )
+        goals = np.stack(
+            [x[1] for x in batch] + [batch[-1][1]] * pads
+        )
+        futs = [x[2] for x in batch]
+        t_assembled = time.perf_counter()
+        try:
+            res = pipeline.plan_batch(
+                self.dist,
+                np.broadcast_to(self.origin, (target, 3)),
+                self.resolution, starts, goals, cfg=self.cfg,
+                host_fallback=self.host_fallback, **self.plan_kw,
+            )
+            sol_host = jax.tree.map(np.asarray, res.solution)
+        except Exception as e:  # noqa: BLE001
+            for f in futs:
+                _safe_resolve(f, exception=e)
+            return
+        t_done = time.perf_counter()
+        for i, f in enumerate(futs):
+            _safe_resolve(f, result={
+                "solution": solve_mod.Solution(
+                    *jax.tree.map(lambda x: x[i], sol_host)
+                ),
+                "reached": bool(res.reached[i]),
+                "ok": bool(res.ok[i]),
+            })
+        with self._cv:
+            self.stats.n_requests += n
+            self.stats.n_batches += 1
+            self.stats.n_padded_lanes += pads
+            self.stats.batch_sizes.append(n)
+            self.stats.assemble_ms.append(
+                (t_assembled - t_dispatch) * 1e3
+            )
+            self.stats.device_ms.append((t_done - t_assembled) * 1e3)
+            for _, _, _, t0 in batch:
+                self.stats.wait_ms.append((t_dispatch - t0) * 1e3)
+                self.stats.total_ms.append((t_done - t0) * 1e3)

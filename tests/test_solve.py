@@ -1053,3 +1053,36 @@ def test_solve_server_bucket_decomposition():
         np.testing.assert_allclose(
             np.asarray(q.coeff), np.asarray(direct.coeff), atol=2e-4
         )
+
+
+def test_mission_server_end_to_end():
+    """Round-5 MissionServer: concurrent full-mission requests batch
+    through plan_batch; each future resolves with its own refined
+    solution + reached/ok flags."""
+    from grad_traj_optimization_tpu import serving
+    from grad_traj_optimization_tpu import fixtures
+
+    rng = np.random.default_rng(23)
+    c = None
+    while c is None:
+        c = fixtures.random_search_case(rng)
+    dist, origin, res, s, g = c[:5]
+    cfg = OptimizerConfig(iters_step2=8)
+    srv = serving.MissionServer(
+        dist, origin, res, cfg=cfg, max_batch=4, max_wait_ms=50.0,
+        beam=16, max_iters=10, retries=0, lookup="gather",
+        stretches=(1.0,),
+    )
+    try:
+        s6 = np.concatenate([s, np.zeros(3)])
+        g6 = np.concatenate([g, np.zeros(3)])
+        futs = [srv.submit(s6 + [0, 0.1 * i, 0, 0, 0, 0], g6)
+                for i in range(3)]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.shutdown()
+    assert sum(o["reached"] for o in outs) >= 2
+    for o in outs:
+        assert o["solution"].coeff.ndim == 3  # batch axis stripped
+    st = srv.stats.summary()
+    assert st["n_requests"] == 3

@@ -153,8 +153,20 @@ def plan_batch(
             g_host = np.asarray(goals)
             K = int(np.asarray(r0.pos).shape[1])
             rec_i, rec_knots = [], []
+            seen: dict = {}  # duplicate missions (e.g. a server's pad
+            # lanes replicate the last request) search ONCE
             for j, i in enumerate(idx):
                 d_i = dist_host if shared else dist_host[j]
+                mkey = (
+                    s_host[i].tobytes(), g_host[i].tobytes(),
+                    None if shared else int(i),
+                )
+                if mkey in seen:
+                    cached = seen[mkey]
+                    if cached is not None:
+                        rec_i.append(i)
+                        rec_knots.append(cached)
+                    continue
                 fpos, fvel, facc, ftimes, f_ok = native.kino_search(
                     d_i.astype(np.float32), ob[i], float(resolution),
                     s_host[i].astype(np.float64),
@@ -165,10 +177,14 @@ def plan_batch(
                                 "lambda_heu", "margin")},
                 )
                 if f_ok and len(ftimes) >= 1:
-                    rec_i.append(i)
-                    rec_knots.append(replan._pad_knots_fixed(
+                    knots_k = replan._pad_knots_fixed(
                         fpos, fvel, facc, ftimes, k_to=K
-                    ))
+                    )
+                    rec_i.append(i)
+                    rec_knots.append(knots_k)
+                    seen[mkey] = knots_k
+                else:
+                    seen[mkey] = None
             if rec_i:
                 n_host = len(rec_i)
                 sel = np.asarray(rec_i)

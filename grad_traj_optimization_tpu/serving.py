@@ -105,7 +105,129 @@ class ServerStats:
         }
 
 
-class SolveServer:
+@functools.lru_cache(maxsize=None)
+def _packer(treedef, shapes_dtypes):
+    """One jitted flatten-and-concat program per result shape family
+    (cached so repeated buckets reuse the compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    # the single-buffer pack round-trips every leaf through f32; that
+    # is EXACT only for f32 leaves and integers < 2^24 — whitelist the
+    # dtypes so a future wider/int64 leaf fails loudly here instead of
+    # silently corrupting results
+    for _shape, dt in shapes_dtypes:
+        if dt not in ("float32", "int32", "bool"):
+            raise TypeError(
+                f"packed download cannot represent dtype {dt}; "
+                "extend _packer with a second buffer for it"
+            )
+
+    def pack(*leaves):
+        return jnp.concatenate(
+            [jnp.ravel(x).astype(jnp.float32) for x in leaves]
+        )
+
+    return jax.jit(pack)
+
+
+def _download_packed_multi(sols):
+    """Download several batched result pytrees in ONE device->host
+    transfer: each packs to a flat f32 buffer on device, the buffers
+    concatenate there, and the single host copy splits back — through
+    a remote tunnel every separate transfer costs a ~25-30 ms RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    packed, metas = [], []
+    for sol in sols:
+        leaves, treedef = jax.tree.flatten(sol)
+        sd = tuple((tuple(x.shape), str(x.dtype)) for x in leaves)
+        packed.append(_packer(treedef, sd)(*leaves))
+        metas.append((treedef, sd, int(packed[-1].shape[0])))
+    flat = np.asarray(
+        jnp.concatenate(packed) if len(packed) > 1 else packed[0]
+    )  # the single device->host transfer
+    outs, off = [], 0
+    for treedef, sd, ln in metas:
+        seg = flat[off:off + ln]
+        off += ln
+        leaves_out, o2 = [], 0
+        for shape, dtype in sd:
+            n = int(np.prod(shape)) if shape else 1
+            leaves_out.append(
+                seg[o2:o2 + n].reshape(shape).astype(dtype)
+            )
+            o2 += n
+        outs.append(jax.tree.unflatten(treedef, leaves_out))
+    return outs
+
+
+def _download_packed(sol):
+    """Download one batched result pytree in ONE transfer."""
+    return _download_packed_multi([sol])[0]
+
+
+class _MicroBatcher:
+    """Shared queue + aggregation-deadline dispatch machinery for the
+    serving front doors.  Queue entries are ``(*payload, fut, t0)``
+    tuples (future at [-2], enqueue timestamp at [-1]); subclasses
+    implement ``_dispatch(batch)`` and call :meth:`_start_batcher` at
+    the end of their ``__init__``.
+    """
+
+    def _start_batcher(self):
+        self.stats = ServerStats()
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _enqueue(self, entry) -> None:
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._queue.append(entry)
+            self._cv.notify()
+
+    def shutdown(self, wait: bool = True):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        if wait:
+            self._worker.join()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                # aggregation: wait out the deadline of the OLDEST
+                # request (or until the batch fills)
+                t_oldest = self._queue[0][-1]
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = (
+                        self.max_wait_ms / 1e3
+                        - (time.perf_counter() - t_oldest)
+                    )
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — keep the worker alive
+                # a dying dispatch thread would hang every later submit
+                # with no error surfaced; fail this batch instead
+                for entry in batch:
+                    _safe_resolve(entry[-2], exception=e)
+
+
+class SolveServer(_MicroBatcher):
     """Micro-batching solve server over one device.
 
     Args:
@@ -134,13 +256,8 @@ class SolveServer:
         self.max_wait_ms = float(max_wait_ms)
         self.pad_buckets = bool(pad_buckets)
         self.bucket_floor = int(bucket_floor)
-        self.stats = ServerStats()
         self._contract = None  # (grid_shape, n_wp) fixed by first submit
-        self._queue: list = []
-        self._cv = threading.Condition()
-        self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._start_batcher()
 
     # -- client surface ---------------------------------------------------
 
@@ -152,8 +269,6 @@ class SolveServer:
         key = (tuple(scenario.dist.shape), int(scenario.waypoints.shape[0]))
         fut: Future = Future()
         with self._cv:
-            if self._closed:
-                raise RuntimeError("server is shut down")
             if self._contract is None:
                 self._contract = key
             elif key != self._contract:
@@ -162,114 +277,14 @@ class SolveServer:
                     f"{self._contract}; route each (grid, n_wp) bucket "
                     "to its own SolveServer"
                 )
-            self._queue.append((scenario, fut, time.perf_counter()))
-            self._cv.notify()
+        self._enqueue((scenario, fut, time.perf_counter()))
         return fut
 
     def solve(self, scenario, timeout: float | None = None):
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(scenario).result(timeout=timeout)
 
-    def shutdown(self, wait: bool = True):
-        with self._cv:
-            self._closed = True
-            self._cv.notify()
-        if wait:
-            self._worker.join()
-
-    # -- dispatch loop ----------------------------------------------------
-
-    def _run(self):
-        while True:
-            with self._cv:
-                while not self._queue and not self._closed:
-                    self._cv.wait()
-                if not self._queue and self._closed:
-                    return
-                # aggregation: wait out the deadline of the OLDEST
-                # request (or until the batch fills)
-                t_oldest = self._queue[0][2]
-                while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = (
-                        self.max_wait_ms / 1e3
-                        - (time.perf_counter() - t_oldest)
-                    )
-                    if remaining <= 0:
-                        break
-                    self._cv.wait(timeout=remaining)
-                batch = self._queue[: self.max_batch]
-                del self._queue[: self.max_batch]
-            try:
-                self._dispatch(batch)
-            except Exception as e:  # noqa: BLE001 — keep the worker alive
-                # a dying dispatch thread would hang every later submit
-                # with no error surfaced; fail this batch instead
-                for _, f, _ in batch:
-                    _safe_resolve(f, exception=e)
-
-    @staticmethod
-    @functools.lru_cache(maxsize=None)
-    def _packer(treedef, shapes_dtypes):
-        """One jitted flatten-and-concat program per Solution shape
-        family (cached so repeated buckets reuse the compile)."""
-        import jax
-        import jax.numpy as jnp
-
-        # the single-buffer pack round-trips every leaf through f32;
-        # that is EXACT only for f32 leaves and integers < 2^24 —
-        # whitelist the dtypes so a future wider/int64 Solution leaf
-        # fails loudly here instead of silently corrupting results
-        for _shape, dt in shapes_dtypes:
-            if dt not in ("float32", "int32", "bool"):
-                raise TypeError(
-                    f"packed download cannot represent dtype {dt}; "
-                    "extend _packer with a second buffer for it"
-                )
-
-        def pack(*leaves):
-            return jnp.concatenate(
-                [jnp.ravel(x).astype(jnp.float32) for x in leaves]
-            )
-
-        return jax.jit(pack)
-
-    def _download_packed_multi(self, sols):
-        """Download several batched Solutions in ONE device->host
-        transfer: each packs to a flat f32 buffer on device, the
-        buffers concatenate there, and the single host copy splits
-        back — bucket-group decomposition must not reintroduce the
-        one-RTT-per-group pattern the round-4 packing removed."""
-        import jax
-        import jax.numpy as jnp
-
-        packed, metas = [], []
-        for sol in sols:
-            leaves, treedef = jax.tree.flatten(sol)
-            sd = tuple(
-                (tuple(x.shape), str(x.dtype)) for x in leaves
-            )
-            packed.append(self._packer(treedef, sd)(*leaves))
-            metas.append((treedef, sd, int(packed[-1].shape[0])))
-        flat = np.asarray(
-            jnp.concatenate(packed) if len(packed) > 1 else packed[0]
-        )  # the single device->host transfer
-        outs, off = [], 0
-        for treedef, sd, ln in metas:
-            seg = flat[off:off + ln]
-            off += ln
-            leaves_out, o2 = [], 0
-            for shape, dtype in sd:
-                n = int(np.prod(shape)) if shape else 1
-                leaves_out.append(
-                    seg[o2:o2 + n].reshape(shape).astype(dtype)
-                )
-                o2 += n
-            outs.append(jax.tree.unflatten(treedef, leaves_out))
-        return outs
-
-    def _download_packed(self, sol):
-        """Download a batched Solution in ONE transfer."""
-        return self._download_packed_multi([sol])[0]
+    # -- dispatch ---------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
         if not self.pad_buckets:
@@ -374,7 +389,7 @@ class SolveServer:
             # per-leaf np.asarray costs one tunnel RTT per leaf (7
             # sequential round-trips/batch — measured as most of the
             # round-4 serving device-time gap)
-            hosts = self._download_packed_multi(sols)
+            hosts = _download_packed_multi(sols)
             host = (
                 hosts[0] if len(hosts) == 1
                 else jax.tree.map(
@@ -386,13 +401,10 @@ class SolveServer:
                 _safe_resolve(f, exception=e)
             return
         t_done = time.perf_counter()
-        for i, f in enumerate(futs):
-            _safe_resolve(
-                f,
-                result=solve_mod.Solution(
-                    *jax.tree.map(lambda x: x[i], host)
-                ),
-            )
+        # record stats BEFORE resolving futures: a client that awoke on
+        # f.result() may immediately read (or reset) server.stats, and
+        # recording afterwards raced that read (measured as warmup
+        # batches leaking into a freshly reset per-load stats object)
         with self._cv:
             self.stats.n_requests += n
             self.stats.n_batches += 1
@@ -405,9 +417,16 @@ class SolveServer:
             for _, _, t0 in batch:
                 self.stats.wait_ms.append((t_dispatch - t0) * 1e3)
                 self.stats.total_ms.append((t_done - t0) * 1e3)
+        for i, f in enumerate(futs):
+            _safe_resolve(
+                f,
+                result=solve_mod.Solution(
+                    *jax.tree.map(lambda x: x[i], host)
+                ),
+            )
 
 
-class MissionServer:
+class MissionServer(_MicroBatcher):
     """Micro-batching FULL-MISSION server: search + refine per request.
 
     The mission analogue of :class:`SolveServer` (the reference's
@@ -439,6 +458,12 @@ class MissionServer:
         self.dist = jax.device_put(jnp.asarray(dist))
         if self.dist.ndim == 3:
             self.dist = self.dist[None]
+        if self.dist.shape[0] != 1:
+            raise ValueError(
+                "MissionServer serves ONE shared field; got dist "
+                f"leading dim {self.dist.shape[0]} — pass dist[:1] "
+                "(per-request fields need per-(grid) servers)"
+            )
         self.origin = np.asarray(origin, np.float32)
         self.resolution = float(resolution)
         self.cfg = cfg
@@ -446,55 +471,15 @@ class MissionServer:
         self.max_wait_ms = float(max_wait_ms)
         self.host_fallback = bool(host_fallback)
         self.plan_kw = plan_kw
-        self.stats = ServerStats()
-        self._queue: list = []
-        self._cv = threading.Condition()
-        self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._start_batcher()
 
     def submit(self, start_state, goal_state) -> Future:
         """Enqueue one mission ((6,) start / goal = [p, v])."""
         s = np.asarray(start_state, np.float32).reshape(6)
         g = np.asarray(goal_state, np.float32).reshape(6)
         fut: Future = Future()
-        with self._cv:
-            if self._closed:
-                raise RuntimeError("server is shut down")
-            self._queue.append((s, g, fut, time.perf_counter()))
-            self._cv.notify()
+        self._enqueue((s, g, fut, time.perf_counter()))
         return fut
-
-    def shutdown(self, wait: bool = True):
-        with self._cv:
-            self._closed = True
-            self._cv.notify()
-        if wait:
-            self._worker.join()
-
-    def _run(self):
-        while True:
-            with self._cv:
-                while not self._queue and not self._closed:
-                    self._cv.wait()
-                if not self._queue and self._closed:
-                    return
-                t_oldest = self._queue[0][3]
-                while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = (
-                        self.max_wait_ms / 1e3
-                        - (time.perf_counter() - t_oldest)
-                    )
-                    if remaining <= 0:
-                        break
-                    self._cv.wait(timeout=remaining)
-                batch = self._queue[: self.max_batch]
-                del self._queue[: self.max_batch]
-            try:
-                self._dispatch(batch)
-            except Exception as e:  # noqa: BLE001 — keep the worker alive
-                for _, _, f, _ in batch:
-                    _safe_resolve(f, exception=e)
 
     def _dispatch(self, batch):
         import jax
@@ -524,20 +509,15 @@ class MissionServer:
                 self.resolution, starts, goals, cfg=self.cfg,
                 host_fallback=self.host_fallback, **self.plan_kw,
             )
-            sol_host = jax.tree.map(np.asarray, res.solution)
+            # ONE device->host transfer (per-leaf np.asarray costs a
+            # tunnel RTT per leaf — the round-4 serving lesson)
+            sol_host = _download_packed(res.solution)
         except Exception as e:  # noqa: BLE001
             for f in futs:
                 _safe_resolve(f, exception=e)
             return
         t_done = time.perf_counter()
-        for i, f in enumerate(futs):
-            _safe_resolve(f, result={
-                "solution": solve_mod.Solution(
-                    *jax.tree.map(lambda x: x[i], sol_host)
-                ),
-                "reached": bool(res.reached[i]),
-                "ok": bool(res.ok[i]),
-            })
+        # stats before resolution (see SolveServer._dispatch)
         with self._cv:
             self.stats.n_requests += n
             self.stats.n_batches += 1
@@ -550,3 +530,11 @@ class MissionServer:
             for _, _, _, t0 in batch:
                 self.stats.wait_ms.append((t_dispatch - t0) * 1e3)
                 self.stats.total_ms.append((t_done - t0) * 1e3)
+        for i, f in enumerate(futs):
+            _safe_resolve(f, result={
+                "solution": solve_mod.Solution(
+                    *jax.tree.map(lambda x: x[i], sol_host)
+                ),
+                "reached": bool(res.reached[i]),
+                "ok": bool(res.ok[i]),
+            })

@@ -55,10 +55,15 @@ def main():
     ).astype(np.float32)
     b = 1
     while b <= max_batch:
+        # await the normal burst BEFORE submitting the unreachable one
+        # — back-to-back submits coalesce into one mixed 2b batch and
+        # neither intended bucket shape compiles
         futs = [srv.submit(starts[i % 512], goals[i % 512])
                 for i in range(b)]
-        futs += [srv.submit(starts[i % 512], goal_bad)
-                 for i in range(b)]
+        for f in futs:
+            f.result(timeout=1800)
+        futs = [srv.submit(starts[i % 512], goal_bad)
+                for i in range(b)]
         for f in futs:
             f.result(timeout=1800)
         b *= 2

@@ -15,12 +15,15 @@ compare2 two-stage flow, compare2.cpp:168-321, at TPU batch scale):
 Chip-measured at B=1024 (bench.py): 705 searches/s single-arm, the
 honest retry pipeline at 360 solves/s (991/1024 reached AND
 converged), the 2-stretch race at 298 solves/s improving 832/1024
-lanes over the single-arm refine.
+lanes over the single-arm refine, and the complete ladder
+(``host_fallback=True``) at 266 plans/s with 1024/1024 reached AND
+converged (the bit-packed-mask fallback rung).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +32,21 @@ import numpy as np
 from grad_traj_optimization_tpu import solver as solve_mod
 from grad_traj_optimization_tpu.config import OptimizerConfig
 from grad_traj_optimization_tpu.search import kinodynamic
+
+
+@jax.jit
+def _pack_safe_u8(d, margin):
+    """Bit-pack the per-voxel safety boolean (d > margin) along z,
+    8 voxels per byte, little bit-order (the inverse of numpy's
+    ``unpackbits(..., bitorder="little")``).  The host fallback's
+    exact A* only ever thresholds the field, so this is its whole
+    information content at 1/32 the f32 transfer size."""
+    safe = d > margin
+    pad = (-d.shape[-1]) % 8
+    safe = jnp.pad(safe, [(0, 0)] * (safe.ndim - 1) + [(0, pad)])
+    b = safe.reshape(safe.shape[:-1] + (-1, 8)).astype(jnp.uint32)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,50 +159,78 @@ def plan_batch(
         if native.available():
             idx = np.where(~reached)[0]
             shared = dists.shape[0] == 1
-            # one device->host transfer of ONLY the needed lanes (the
-            # tunnel RTT per transfer is the measured replan/serving
-            # killer; downloading all B grids for ~30 lanes would move
-            # ~1 GB for ~30 MB of reads)
-            dist_host = np.asarray(
-                dists[0] if shared else dists[jnp.asarray(idx)]
+            # one device->host transfer of ONLY the needed lanes, BIT-
+            # PACKED: the exact kino A* consumes the field exclusively
+            # through `dist <= margin` threshold checks (gtop_core.cpp
+            # k_dist_at/k_shot_ok callers :939/:1005/:1037 — no
+            # trilinear, no distance values), so the rung ships the
+            # boolean safety mask packed 8 voxels/byte (32x less than
+            # f32) and expands it to a two-level {0, 10000} field on
+            # host — search decisions bitwise-identical.  Chip-
+            # attributed: the f32 download of ~33 lanes was 3-4 s of
+            # the ladder's 5-7 s wall (~8 MB/s tunnel bandwidth), vs
+            # 0.09 s for ALL the host searches themselves.
+            margin = float(search_kw.get("margin", 0.2))
+            kino_kw = {k: v for k, v in search_kw.items()
+                       if k in ("max_acc", "max_vel", "w_time",
+                                "lambda_heu")}
+            sel_d = dists if shared else dists[jnp.asarray(idx)]
+            nzv = dists.shape[-1]
+            packed = np.asarray(_pack_safe_u8(sel_d, margin))
+            safe = np.unpackbits(
+                packed, axis=-1, bitorder="little"
+            )[..., :nzv].astype(bool)
+            dist_host = np.where(
+                safe, np.float32(10000.0), np.float32(0.0)
             )
             ob = np.asarray(origins_b, np.float32)
             s_host = np.asarray(starts)
             g_host = np.asarray(goals)
             K = int(np.asarray(r0.pos).shape[1])
-            rec_i, rec_knots = [], []
-            seen: dict = {}  # duplicate missions (e.g. a server's pad
-            # lanes replicate the last request) search ONCE
+
+            def _host_search(j, i):
+                d_i = dist_host[0] if shared else dist_host[j]
+                fpos, fvel, facc, ftimes, f_ok = native.kino_search(
+                    d_i, ob[i], float(resolution),
+                    s_host[i].astype(np.float64),
+                    g_host[i].astype(np.float64),
+                    max_tau=max_tau, margin=margin, **kino_kw,
+                )
+                if f_ok and len(ftimes) >= 1:
+                    return replan._pad_knots_fixed(
+                        fpos, fvel, facc, ftimes, k_to=K
+                    )
+                return None
+
+            # duplicate missions (e.g. a server's pad lanes replicate
+            # the last request) search ONCE; the unique missions run
+            # CONCURRENTLY — the engine holds no global state and the
+            # ctypes call releases the GIL, so the rung scales with
+            # host cores instead of serializing ~30 exact searches
+            lane_key = {}
+            uniq: dict = {}
             for j, i in enumerate(idx):
-                d_i = dist_host if shared else dist_host[j]
                 mkey = (
                     s_host[i].tobytes(), g_host[i].tobytes(),
                     None if shared else int(i),
                 )
-                if mkey in seen:
-                    cached = seen[mkey]
-                    if cached is not None:
-                        rec_i.append(i)
-                        rec_knots.append(cached)
-                    continue
-                fpos, fvel, facc, ftimes, f_ok = native.kino_search(
-                    d_i.astype(np.float32), ob[i], float(resolution),
-                    s_host[i].astype(np.float64),
-                    g_host[i].astype(np.float64),
-                    max_tau=max_tau,
-                    **{k: v for k, v in search_kw.items()
-                       if k in ("max_acc", "max_vel", "w_time",
-                                "lambda_heu", "margin")},
-                )
-                if f_ok and len(ftimes) >= 1:
-                    knots_k = replan._pad_knots_fixed(
-                        fpos, fvel, facc, ftimes, k_to=K
-                    )
+                lane_key[int(i)] = mkey
+                uniq.setdefault(mkey, (j, i))
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_workers = min(8, len(uniq), os.cpu_count() or 1)
+            with ThreadPoolExecutor(n_workers) as ex:
+                futs = {
+                    mk: ex.submit(_host_search, j, i)
+                    for mk, (j, i) in uniq.items()
+                }
+                seen = {mk: f.result() for mk, f in futs.items()}
+            rec_i, rec_knots = [], []
+            for i in idx:
+                cached = seen[lane_key[int(i)]]
+                if cached is not None:
                     rec_i.append(i)
-                    rec_knots.append(knots_k)
-                    seen[mkey] = knots_k
-                else:
-                    seen[mkey] = None
+                    rec_knots.append(cached)
             if rec_i:
                 n_host = len(rec_i)
                 sel = np.asarray(rec_i)

@@ -1007,6 +1007,52 @@ def test_plan_batch_host_fallback_recovers():
         )
 
 
+def test_host_fallback_packed_mask_bitwise():
+    """The fallback rung ships a bit-packed (d > margin) mask instead
+    of the f32 field (the exact A* only thresholds the field:
+    gtop_core.cpp k_dist_at/k_shot_ok callers).  The native search on
+    the expanded two-level field must return BITWISE-identical knots
+    to the full field."""
+    from grad_traj_optimization_tpu import native, pipeline
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    from grad_traj_optimization_tpu import fixtures
+
+    rng = np.random.default_rng(11)
+    margin = 0.2
+    n_checked = 0
+    while n_checked < 3:
+        c = fixtures.random_search_case(rng)
+        if c is None:
+            continue
+        dist, origin, res, s3, g3 = c
+        s6 = np.concatenate([s3, np.zeros(3)]).astype(np.float64)
+        g6 = np.concatenate([g3, np.zeros(3)]).astype(np.float64)
+        packed = np.asarray(
+            pipeline._pack_safe_u8(jnp.asarray(dist)[None], margin)
+        )
+        safe = np.unpackbits(packed, axis=-1, bitorder="little")[
+            ..., : dist.shape[-1]
+        ].astype(bool)[0]
+        two_level = np.where(
+            safe, np.float32(10000.0), np.float32(0.0)
+        )
+        full = native.kino_search(
+            np.asarray(dist, np.float32), origin, float(res), s6, g6,
+            margin=margin,
+        )
+        masked = native.kino_search(
+            two_level, origin, float(res), s6, g6, margin=margin,
+        )
+        assert full[4] == masked[4]
+        for a, b in zip(full[:4], masked[:4]):
+            np.testing.assert_array_equal(a, b)
+        n_checked += 1
+
+
 def test_plan_batch_degenerate_cases():
     """plan_batch edge cases: B=1, and a start placed at the goal."""
     from grad_traj_optimization_tpu import pipeline
